@@ -1,0 +1,136 @@
+"""Torch state-dict -> JAX pytree converters.
+
+Used for two things:
+  1. Ingesting the reference's pretrained checkpoints (.pt/.pth) for
+     accuracy-parity evaluation (reference lrce/agent/agent_base.py:194-217,
+     lrce/feature_extractor/video.py:20-26).
+  2. Golden parity tests: transplant random torch weights into the JAX models
+     and compare outputs.
+
+All converters take a flat {name: np.ndarray} dict (use `load_torch_state_dict`
+to read a file) and return nested pytrees matching the lrce_tpu param layout.
+Torch Linear stores (out, in); our dense layout is (in, out), hence the
+transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def load_torch_state_dict(path: str) -> StateDict:
+    """Read a torch checkpoint file into numpy arrays (torch CPU required)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("model_state_dict", "state_dict", "model"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    return {k: v.detach().cpu().numpy() for k, v in ckpt.items()}
+
+
+def strip_prefix(sd: StateDict, prefix: str) -> StateDict:
+    """Keep entries under `prefix` and strip it (e.g. 'backbone.' for the Swin
+    Kinetics checkpoint, reference video_swin_ori.py:709-715)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def _t(x: Array) -> Array:
+    return np.ascontiguousarray(x.T)
+
+
+def convert_dense(sd: StateDict, prefix: str, bias: bool = True) -> dict:
+    p = {"w": _t(sd[f"{prefix}.weight"])}
+    if bias:
+        p["b"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def convert_layer_norm(sd: StateDict, prefix: str) -> dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def convert_mha(sd: StateDict, prefix: str) -> dict:
+    """torch.nn.MultiheadAttention with packed in_proj."""
+    return {
+        "in_w": _t(sd[f"{prefix}.in_proj_weight"]),
+        "in_b": sd[f"{prefix}.in_proj_bias"],
+        "out": convert_dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _stack(trees: List[dict]) -> dict:
+    """Stack identically-structured numpy pytrees along a new axis 0."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def convert_decoder_layer(sd: StateDict, prefix: str) -> dict:
+    return {
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn"),
+        "multihead_attn": convert_mha(sd, f"{prefix}.multihead_attn"),
+        "linear1": convert_dense(sd, f"{prefix}.linear1"),
+        "linear2": convert_dense(sd, f"{prefix}.linear2"),
+        "norm1": convert_layer_norm(sd, f"{prefix}.norm1"),
+        "norm2": convert_layer_norm(sd, f"{prefix}.norm2"),
+        "norm3": convert_layer_norm(sd, f"{prefix}.norm3"),
+    }
+
+
+def convert_fusion_transformer(sd: StateDict, prefix: str = "",
+                               num_layers: int = 12) -> dict:
+    """FusionTransformer params (reference lrce/models/fusionv3.py:5-25):
+    `transformer.layers.{i}.*` + fusion_layer_norm + summarization_token."""
+    pre = f"{prefix}." if prefix else ""
+    layers = [convert_decoder_layer(sd, f"{pre}transformer.layers.{i}")
+              for i in range(num_layers)]
+    return {
+        "layers": _stack(layers),
+        "fusion_layer_norm": convert_layer_norm(sd, f"{pre}fusion_layer_norm"),
+        "summarization_token": sd[f"{pre}summarization_token"],
+    }
+
+
+def convert_text_pos_embed(sd: StateDict, prefix: str) -> dict:
+    return {
+        "emb_cls": sd[f"{prefix}.emb_cls"],
+        "emb_pos": sd[f"{prefix}.emb_pos"],
+        "layer_norm": convert_layer_norm(sd, f"{prefix}.layer_norm"),
+    }
+
+
+def convert_video_pos_embed(sd: StateDict, prefix: str) -> dict:
+    return {
+        "emb_cls": sd[f"{prefix}.emb_cls"],
+        "emb_pos": sd[f"{prefix}.emb_pos"],
+        "emb_len": sd[f"{prefix}.emb_len"],
+        "emb_clip": sd[f"{prefix}.emb_clip"],
+        "layer_norm": convert_layer_norm(sd, f"{prefix}.layer_norm"),
+    }
+
+
+def convert_lrce_head(sd: StateDict, prefix: str = "") -> dict:
+    """LRCE{OpenEnded,MultipleChoice,Count} head params
+    (reference lrce/models/fusionv3.py:129-198)."""
+    pre = f"{prefix}." if prefix else ""
+    params = {
+        "video_pos_embed": convert_video_pos_embed(sd, f"{pre}video_pos_embed"),
+        "question_pos_embed": convert_text_pos_embed(sd, f"{pre}question_pos_embed"),
+        "fusion_transformer": convert_fusion_transformer(sd, f"{pre}fusion_transformer"),
+        "final_fc": convert_dense(sd, f"{pre}final_fc"),
+    }
+    if f"{pre}projection_layer.weight" in sd:
+        params["projection_layer"] = convert_dense(sd, f"{pre}projection_layer")
+    return params
