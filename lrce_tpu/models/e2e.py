@@ -1,0 +1,163 @@
+"""End-to-end LRCE models: BERT text encoder + Swin-B video encoder + fusion.
+
+TPU-first redesign of the reference E2E composition (reference
+lrce/models/e2e.py:7-106, lrce/feature_extractor/{text,video}.py):
+
+  - VideoExtractor: instead of a Python loop over clips
+    (reference video.py:32-41), all clips fold into the batch axis and run
+    through Swin *once* — a single large MXU-friendly batch.
+  - ImageNet normalization is fused into the jitted graph (no host transform).
+  - Everything is one jittable pure function over a params pytree; the
+    multiple-choice variant flattens (B, 5, L) QA pairs into the batch for
+    BERT exactly like the reference (e2e.py:77-81).
+
+Param pytree layout mirrors the reference module names
+(fusion_model / text_extractor / video_extractor) so optimizer param-group
+labeling (agent_base.py:27-44) and checkpoint conversion stay 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lrce_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+from lrce_tpu.models import bert as B
+from lrce_tpu.models import fusion as F
+from lrce_tpu.models import swin3d as S
+
+
+class E2EConfig(NamedTuple):
+    feature_dim: int = 768
+    num_classes: int = 1000
+    drop_out_rate: float = 0.1
+    video_feature_res: tuple = (7, 7)
+    video_feature_dim: int = 1024
+    frame_sample_size: int = 5
+    temporal_scale: tuple = (3,)
+    text_seq_len: int = 30
+    task_type: str = "oe"  # oe | mc | count
+    bert: B.BertConfig = B.BERT_BASE
+    swin: S.SwinConfig = S.SWIN_BASE
+
+
+def e2e_init(rng, cfg: E2EConfig, dtype=jnp.float32) -> dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    if cfg.task_type == "oe":
+        head = F.lrce_open_ended_init(
+            k1, cfg.feature_dim, cfg.num_classes, cfg.video_feature_res,
+            cfg.video_feature_dim, cfg.frame_sample_size,
+            list(cfg.temporal_scale), cfg.text_seq_len, dtype)
+    elif cfg.task_type == "mc":
+        head = F.lrce_multiple_choice_init(
+            k1, cfg.feature_dim, cfg.num_classes, cfg.video_feature_res,
+            cfg.video_feature_dim, cfg.frame_sample_size,
+            list(cfg.temporal_scale), cfg.text_seq_len, dtype)
+    elif cfg.task_type == "count":
+        head = F.lrce_count_init(
+            k1, cfg.feature_dim, cfg.video_feature_res, cfg.video_feature_dim,
+            cfg.frame_sample_size, list(cfg.temporal_scale), cfg.text_seq_len,
+            dtype)
+    else:
+        raise ValueError(f"Unsupported task type {cfg.task_type}")
+    return {
+        "fusion_model": head,
+        "text_extractor": B.bert_init(k2, cfg.bert, dtype),
+        "video_extractor": S.swin_init(k3, cfg.swin, dtype),
+    }
+
+
+def extract_video_features(params: dict, video_clips: jnp.ndarray,
+                           cfg: E2EConfig, *, deterministic: bool = True,
+                           rng: Optional[jax.Array] = None,
+                           compute_dtype=jnp.float32) -> jnp.ndarray:
+    """(B, n_clips, T, H, W, 3) channels-last uint8/float clips ->
+    (B, n_clips, ceil(T/2), H/32 * W/32, 1024).
+
+    Normalization + Swin on all clips batched together (vs the reference's
+    per-clip Python loop, video.py:28-43).
+    """
+    b, n_clips, t, h, w, c = video_clips.shape
+    x = video_clips.astype(compute_dtype)
+    mean = jnp.asarray(IMAGENET_MEAN, compute_dtype)
+    std = jnp.asarray(IMAGENET_STD, compute_dtype)
+    x = (x - mean) / std
+
+    x = x.reshape(b * n_clips, t, h, w, c)
+    feats = S.swin_forward(params, x, cfg.swin, deterministic=deterministic,
+                           rng=rng)  # (b*S, T', h', w', 1024)
+    _, tp, hp, wp, cdim = feats.shape
+    return feats.reshape(b, n_clips, tp, hp * wp, cdim)
+
+
+def extract_text_features(params: dict, texts: jnp.ndarray,
+                          attention_mask: jnp.ndarray,
+                          token_type_ids: jnp.ndarray, cfg: E2EConfig, *,
+                          deterministic: bool = True,
+                          rng: Optional[jax.Array] = None,
+                          compute_dtype=jnp.float32) -> jnp.ndarray:
+    """(B, L) or (B, total_mc, L) token ids -> last hidden states.
+
+    MC inputs flatten choices into the batch (reference e2e.py:77-81)."""
+    if texts.ndim == 3:
+        b, m, l = texts.shape
+        out = B.bert_encode(params, texts.reshape(b * m, l),
+                            attention_mask.reshape(b * m, l),
+                            token_type_ids.reshape(b * m, l), cfg.bert,
+                            deterministic=deterministic, rng=rng,
+                            compute_dtype=compute_dtype)
+        return out.reshape(b, m, l, -1)
+    return B.bert_encode(params, texts, attention_mask, token_type_ids,
+                         cfg.bert, deterministic=deterministic, rng=rng,
+                         compute_dtype=compute_dtype)
+
+
+def e2e_forward(params: dict, video_clips: jnp.ndarray, texts: jnp.ndarray,
+                texts_attention_mask: jnp.ndarray,
+                texts_type_ids: jnp.ndarray, cfg: E2EConfig, *,
+                deterministic: bool = True, rng: Optional[jax.Array] = None,
+                compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Full forward: clips + question tokens -> task logits.
+
+    Output: (B, num_classes) for oe, (B, 5) for mc, (B,) for count.
+    """
+    r_vid, r_txt, r_fuse = (jax.random.split(rng, 3) if rng is not None
+                            else (None, None, None))
+    video_features = extract_video_features(
+        params["video_extractor"], video_clips, cfg,
+        deterministic=deterministic, rng=r_vid, compute_dtype=compute_dtype)
+    text_features = extract_text_features(
+        params["text_extractor"], texts, texts_attention_mask, texts_type_ids,
+        cfg, deterministic=deterministic, rng=r_txt,
+        compute_dtype=compute_dtype)
+
+    head = params["fusion_model"]
+    kw = dict(dropout_rate=cfg.drop_out_rate, deterministic=deterministic,
+              rng=r_fuse)
+    if cfg.task_type == "oe":
+        return F.lrce_open_ended(head, video_features, text_features,
+                                 texts_attention_mask, **kw)
+    if cfg.task_type == "mc":
+        return F.lrce_multiple_choice(head, video_features, text_features,
+                                      texts_attention_mask, **kw)
+    if cfg.task_type == "count":
+        return F.lrce_count(head, video_features, text_features,
+                            texts_attention_mask, **kw)
+    raise ValueError(cfg.task_type)
+
+
+def config_from_args(args) -> E2EConfig:
+    """Build an E2EConfig from a parsed args namespace (lrce_tpu.config)."""
+    return E2EConfig(
+        feature_dim=args.feature_dim,
+        num_classes=args.num_classes,
+        drop_out_rate=getattr(args, "drop_out_rate", 0.1),
+        video_feature_res=tuple(args.video_feature_res),
+        video_feature_dim=args.video_feature_dim,
+        frame_sample_size=args.frame_sample_size,
+        temporal_scale=tuple(args.temporal_scale),
+        text_seq_len=args.text_seq_len,
+        task_type=args.task_type,
+    )

@@ -121,6 +121,116 @@ def convert_video_pos_embed(sd: StateDict, prefix: str) -> dict:
     }
 
 
+def convert_e2e(sd: StateDict, depths=(2, 2, 18, 2)) -> dict:
+    """Full reference E2E checkpoint -> lrce_tpu params.
+
+    Reference module tree (lrce/models/e2e.py:7-25): fusion_model.* /
+    text_extractor.bert.* / video_extractor.swin.*.
+    """
+    return {
+        "fusion_model": convert_lrce_head(sd, "fusion_model"),
+        "text_extractor": convert_bert(sd, "text_extractor"),
+        "video_extractor": convert_swin(sd, "video_extractor.swin",
+                                        depths=depths),
+    }
+
+
+def convert_swin(sd: StateDict, prefix: str = "",
+                 depths=(2, 2, 18, 2), patch_norm: bool = True) -> dict:
+    """Video Swin Transformer 3D state dict -> lrce_tpu swin params.
+
+    Key layout follows the public Video-Swin checkpoints (after stripping the
+    'backbone.' prefix, reference video_swin_ori.py:709-715):
+    patch_embed.proj/norm, layers.{i}.blocks.{j}.{norm1,attn,norm2,mlp},
+    layers.{i}.downsample.{norm,reduction}, norm.
+    Conv kernels go OIDHW -> DHWIO; linear weights transpose.
+    """
+    pre = f"{prefix}." if prefix else ""
+
+    def block(i: int, j: int) -> dict:
+        bp = f"{pre}layers.{i}.blocks.{j}"
+        return {
+            "norm1": convert_layer_norm(sd, f"{bp}.norm1"),
+            "attn": {
+                "qkv": convert_dense(sd, f"{bp}.attn.qkv"),
+                "proj": convert_dense(sd, f"{bp}.attn.proj"),
+                "rel_table": sd[f"{bp}.attn.relative_position_bias_table"],
+            },
+            "norm2": convert_layer_norm(sd, f"{bp}.norm2"),
+            "mlp": {
+                "fc1": convert_dense(sd, f"{bp}.mlp.fc1"),
+                "fc2": convert_dense(sd, f"{bp}.mlp.fc2"),
+            },
+        }
+
+    params = {
+        "patch_embed": {
+            "proj": {
+                "w": np.ascontiguousarray(
+                    sd[f"{pre}patch_embed.proj.weight"].transpose(2, 3, 4, 1, 0)),
+                "b": sd[f"{pre}patch_embed.proj.bias"],
+            },
+        },
+        "stages": [],
+        "norm": convert_layer_norm(sd, f"{pre}norm"),
+    }
+    if patch_norm and f"{pre}patch_embed.norm.weight" in sd:
+        params["patch_embed"]["norm"] = convert_layer_norm(sd, f"{pre}patch_embed.norm")
+
+    for i, depth in enumerate(depths):
+        stage = {"blocks": _stack([block(i, j) for j in range(depth)])}
+        if f"{pre}layers.{i}.downsample.reduction.weight" in sd:
+            stage["downsample"] = {
+                "norm": convert_layer_norm(sd, f"{pre}layers.{i}.downsample.norm"),
+                "reduction": convert_dense(
+                    sd, f"{pre}layers.{i}.downsample.reduction", bias=False),
+            }
+        params["stages"].append(stage)
+    return params
+
+
+def convert_bert(sd: StateDict, prefix: str = "", num_layers: int = 12,
+                 with_pooler: bool = True) -> dict:
+    """HuggingFace BertModel state dict -> lrce_tpu bert params.
+
+    Accepts either `bert.encoder.layer.{i}...` (as in the reference E2E
+    checkpoint under text_extractor.bert.*) or bare `encoder.layer.{i}...`.
+    """
+    pre = f"{prefix}." if prefix else ""
+    if f"{pre}embeddings.word_embeddings.weight" not in sd and \
+            f"{pre}bert.embeddings.word_embeddings.weight" in sd:
+        pre = f"{pre}bert."
+
+    def layer(i: int) -> dict:
+        lp = f"{pre}encoder.layer.{i}"
+        return {
+            "attention": {
+                "query": convert_dense(sd, f"{lp}.attention.self.query"),
+                "key": convert_dense(sd, f"{lp}.attention.self.key"),
+                "value": convert_dense(sd, f"{lp}.attention.self.value"),
+                "output": convert_dense(sd, f"{lp}.attention.output.dense"),
+                "output_layer_norm": convert_layer_norm(
+                    sd, f"{lp}.attention.output.LayerNorm"),
+            },
+            "intermediate": convert_dense(sd, f"{lp}.intermediate.dense"),
+            "output": convert_dense(sd, f"{lp}.output.dense"),
+            "output_layer_norm": convert_layer_norm(sd, f"{lp}.output.LayerNorm"),
+        }
+
+    params = {
+        "embeddings": {
+            "word": sd[f"{pre}embeddings.word_embeddings.weight"],
+            "position": sd[f"{pre}embeddings.position_embeddings.weight"],
+            "token_type": sd[f"{pre}embeddings.token_type_embeddings.weight"],
+            "layer_norm": convert_layer_norm(sd, f"{pre}embeddings.LayerNorm"),
+        },
+        "layers": _stack([layer(i) for i in range(num_layers)]),
+    }
+    if with_pooler and f"{pre}pooler.dense.weight" in sd:
+        params["pooler"] = convert_dense(sd, f"{pre}pooler.dense")
+    return params
+
+
 def convert_lrce_head(sd: StateDict, prefix: str = "") -> dict:
     """LRCE{OpenEnded,MultipleChoice,Count} head params
     (reference lrce/models/fusionv3.py:129-198)."""
