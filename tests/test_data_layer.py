@@ -1,0 +1,234 @@
+"""Data-layer parity tests: clip sampling math vs the reference formula,
+WordPiece tokenizer vs HF BertTokenizerFast, sampler vs torch
+DistributedSampler, dataset/loader integration on synthetic GIFs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lrce_tpu.data import sampling
+from lrce_tpu.data.loader import (
+    DataLoader,
+    distributed_sampler_indices,
+    global_batch_indices,
+)
+from lrce_tpu.data.tokenizer import BertWordPieceTokenizer
+
+
+# ---------------------------------------------------------------------------
+# Clip sampling
+# ---------------------------------------------------------------------------
+
+def reference_sampler(num_frames, frames_per_clip, temporal_scale):
+    """Literal re-derivation of the reference loop over an index array
+    (reference e2e_dataset.py:94-111)."""
+    frames = np.arange(num_frames)
+    out = []
+    for scale in temporal_scale:
+        step = max(1, max(1, len(frames) // frames_per_clip) // scale)
+        pool = frames[step // 2::step]
+        inner = (len(pool) - frames_per_clip) // (scale - 1) if scale > 1 else 0
+        for i in range(scale):
+            clip = pool[i * inner:i * inner + frames_per_clip]
+            assert len(clip) == frames_per_clip
+            out.append(clip)
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("n", [5, 7, 11, 24, 25, 26, 48, 100, 137, 1000])
+@pytest.mark.parametrize("scales", [[3], [1, 2, 3], [1], [2], [1, 2, 3, 4]])
+def test_clip_indices_match_reference(n, scales):
+    try:
+        ref = reference_sampler(n, 5, scales)
+    except AssertionError:
+        with pytest.raises(ValueError):
+            sampling.clip_indices(n, 5, scales)
+        return
+    got = sampling.clip_indices(n, 5, scales)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_clip_indices_too_short():
+    with pytest.raises(ValueError):
+        sampling.clip_indices(3, 5, [3])
+
+
+def test_build_scale_idx():
+    assert sampling.build_scale_idx([3]) == [3, 4, 5]
+    assert sampling.build_scale_idx([1, 2, 3]) == [0, 1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "what", "is", "the", "man", "doing", "play", "##ing", "guitar",
+         "a", "dog", "run", "##s", ",", "?", "!", "'", "s", "red", "blue",
+         "##uit", "##ar", "gu", "cat"]
+
+
+@pytest.fixture
+def vocab_file(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return str(p)
+
+
+def test_tokenizer_matches_hf(vocab_file):
+    from transformers import BertTokenizerFast
+
+    hf = BertTokenizerFast(vocab_file=vocab_file, do_lower_case=True)
+    mine = BertWordPieceTokenizer(vocab_file)
+
+    cases = [
+        "What is the man doing?",
+        "a dog runs!",
+        "Playing GUITAR, what?",
+        "the man's dog",
+        "unknownword what",
+        "gu itar guit",
+    ]
+    for text in cases:
+        ref = hf(text, add_special_tokens=True, padding="max_length",
+                 max_length=12)
+        ids, mask, types = mine.encode(text, max_length=12)
+        assert ids.tolist() == ref["input_ids"], text
+        assert mask.tolist() == ref["attention_mask"], text
+        assert types.tolist() == ref["token_type_ids"], text
+
+
+def test_tokenizer_pair_matches_hf(vocab_file):
+    from transformers import BertTokenizerFast
+
+    hf = BertTokenizerFast(vocab_file=vocab_file, do_lower_case=True)
+    mine = BertWordPieceTokenizer(vocab_file)
+
+    q, a = "What is the man doing?", "playing guitar"
+    ref = hf(q, a, add_special_tokens=True, padding="max_length", max_length=16)
+    ids, mask, types = mine.encode(q, a, max_length=16)
+    assert ids.tolist() == ref["input_ids"]
+    assert mask.tolist() == ref["attention_mask"]
+    assert types.tolist() == ref["token_type_ids"]
+
+
+def test_tokenizer_accents_and_punct(vocab_file):
+    mine = BertWordPieceTokenizer(vocab_file)
+    assert mine.tokenize("guitár!") == ["guitar", "!"]
+    # longest-match-first falls back through subwords
+    assert mine.tokenize("guuitar") == ["gu", "##uit", "##ar"]
+
+
+# ---------------------------------------------------------------------------
+# DistributedSampler parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,world", [(10, 4), (8, 4), (101, 4), (7, 2), (5, 8)])
+def test_distributed_sampler_matches_torch(n, world):
+    import torch
+    from torch.utils.data import DistributedSampler
+
+    class Dummy(torch.utils.data.Dataset):
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            return i
+
+    for rank in range(world):
+        ref = list(DistributedSampler(Dummy(), num_replicas=world, rank=rank,
+                                      shuffle=True, seed=0))
+        got = distributed_sampler_indices(n, world, rank, shuffle=True, seed=0)
+        assert got.tolist() == ref
+
+
+def test_global_batches_cover_ddp_step_order():
+    n, world, bs = 10, 2, 2
+    per_rank = [distributed_sampler_indices(n, world, r) for r in range(world)]
+    batches = global_batch_indices(n, bs, world)
+    assert len(batches) == 3  # ceil(ceil(10/2)/2)
+    np.testing.assert_array_equal(
+        batches[0], np.concatenate([per_rank[0][:2], per_rank[1][:2]]))
+
+
+# ---------------------------------------------------------------------------
+# Dataset + loader integration on synthetic GIFs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def tgif_fixture(tmp_path, vocab_file):
+    from PIL import Image
+
+    gifs = tmp_path / "gifs"
+    gifs.mkdir()
+    rng = np.random.RandomState(0)
+    for name, n_frames in [("g1", 12), ("g2", 25), ("g3", 7)]:
+        frames = [Image.fromarray(rng.randint(0, 255, (32, 40, 3), np.uint8))
+                  for _ in range(n_frames)]
+        frames[0].save(gifs / f"{name}.gif", save_all=True,
+                       append_images=frames[1:], duration=50, loop=0)
+
+    ann = tmp_path / "annotations"
+    ann.mkdir()
+    rows = ["gif_name\tquestion\tanswer\tvid_id",
+            "g1\twhat is the man doing?\tguitar\t0",
+            "g2\ta dog runs!\tred\t1",
+            "g3\twhat is the dog doing?\tblue\t2"]
+    (ann / "Train_frameqa_question.csv").write_text("\n".join(rows) + "\n")
+    (ann / "Total_frameqa_question.csv").write_text("\n".join(rows) + "\n")
+    return tmp_path
+
+
+def test_tgif_dataset_and_loader(tgif_fixture, vocab_file):
+    from lrce_tpu.data.datasets import E2ETGIFDataset
+
+    tok = BertWordPieceTokenizer(vocab_file)
+    ds = E2ETGIFDataset(
+        split_annotation=str(tgif_fixture / "annotations/Train_frameqa_question.csv"),
+        full_annotation=str(tgif_fixture / "annotations/Total_frameqa_question.csv"),
+        videos_path=str(tgif_fixture / "gifs"),
+        task_type="oe", temporal_scale=[1, 2], frame_size=(16, 16),
+        max_text_token_len=12, tokenizer=tok)
+
+    assert len(ds) == 3
+    clips, ids, mask, types, gt = ds[0]
+    assert clips.shape == (3, 5, 16, 16, 3)  # sum([1,2]) clips
+    assert clips.dtype == np.float32 and 0 <= clips.min() and clips.max() <= 1
+    assert ids.shape == (12,)
+    assert gt == 0  # "guitar" is the most common answer? order: counts all 1 -> first seen
+
+    dl = DataLoader(ds, batch_size=2, num_replicas=1, shuffle=False,
+                    num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    b0 = batches[0]
+    assert b0[0].shape == (2, 3, 5, 16, 16, 3)
+    assert b0[1].shape == (2, 12)
+    assert b0[4].shape == (2,)
+
+
+def test_gif_decode_matches_reference_pixels(tgif_fixture):
+    """Decode-sampled-only must equal decode-everything-then-index."""
+    import cv2
+    from PIL import Image
+
+    from lrce_tpu.data.video_decode import get_video_clips
+
+    path = str(tgif_fixture / "gifs/g2.gif")
+    # reference-style: decode all frames, preprocess all, then index
+    cap = cv2.VideoCapture(path)
+    frames = []
+    ok, img = cap.read()
+    while ok:
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        pil = Image.fromarray(rgb).convert("RGB").resize((16, 16), Image.BILINEAR)
+        frames.append(np.asarray(pil, np.uint8))
+        ok, img = cap.read()
+    frames = np.stack(frames)
+    idx = sampling.clip_indices(len(frames), 5, [1, 2])
+    ref = frames[idx].astype(np.float32) / 255.0
+
+    got = get_video_clips(path, 5, [1, 2], (16, 16))
+    np.testing.assert_array_equal(got, ref)
