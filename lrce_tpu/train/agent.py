@@ -1,0 +1,366 @@
+"""Training/eval runtime ("agents") — the reference agent surface on a
+single-controller JAX runtime.
+
+Reference behavior preserved (reference lrce/agent/agent_base.py:8-251,
+agent_{oe,mc,count}.py):
+
+  - AdamW with 3 param groups at lr[0..2]; cosine-warmup-restarts stepped per
+    batch at fractional epochs, or ReduceLROnPlateau stepped on validation;
+  - loss = task loss + reg_strength * sum_p ||p||_2 (un-squared norms);
+  - generator-based epoch loop with mid-epoch validation, best-checkpoint
+    tracking, checkpoint naming, TensorBoard scalars, sanity-check mode;
+  - count task: MSE metric, lower-is-better.
+
+TPU-first differences:
+  - ONE jitted train step fuses forward+loss+backward+AdamW update; params
+  /opt state are donated (no reallocation churn);
+  - bf16 compute / f32 params replaces CUDA AMP + GradScaler;
+  - data parallelism is GSPMD: the global batch is sharded over the mesh's
+    'data' axis, gradients all-reduce over ICI inside the compiled step
+    (no DDP/NCCL, reference train.py:10-13 / agent_base.py:75-76);
+  - metrics come out of the step already globally reduced (no torch
+    distributed.reduce, agent_base.py:148-155).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import deque
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lrce_tpu.models.e2e import E2EConfig, e2e_forward
+from lrce_tpu.train import losses as L
+from lrce_tpu.train import optimizer as O
+from lrce_tpu.train.schedule import CosineWarmupRestarts, ReduceLROnPlateau
+from lrce_tpu.utils import checkpoint as C
+from lrce_tpu.utils.logging import get_logger
+from lrce_tpu.utils.pytree import l2_reg
+
+
+def default_compute_dtype():
+    try:
+        return jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+    except Exception:
+        return jnp.float32
+
+
+class AgentBase:
+    metric_name = "Accuracy"
+    metric_lower_better = False
+
+    def __init__(self, cfg: E2EConfig, params: Any, args, mesh=None,
+                 log_enabled: bool = True, is_eval: bool = False,
+                 compute_dtype=None, seed: int = 0):
+        self.cfg = cfg
+        self.args = args
+        self.mesh = mesh
+        self.log_enabled = log_enabled
+        self.is_eval = is_eval
+        self.compute_dtype = compute_dtype or default_compute_dtype()
+        self.uid = int(time.time())
+        self.logger = get_logger(type(self).__name__)
+        self.base_rng = jax.random.PRNGKey(seed)
+
+        self.reg_strength = float(getattr(args, "reg_strength", 0.0))
+
+        # --- sharding -------------------------------------------------------
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._replicated = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+        else:
+            self._replicated = None
+            self._batch_sharding = None
+
+        self.params = self._put_params(params)
+
+        # --- optimizer / scheduler -----------------------------------------
+        if not is_eval:
+            self.adam = O.make_optimizer()
+            self.labels = O.group_index_tree(self.params)
+            self.opt_state = self._put_params(self.adam.init(self.params))
+            if getattr(args, "use_cosine_scheduler", False):
+                self.scheduler = CosineWarmupRestarts(
+                    3, first_cycle_steps=args.lr_restart_epoch,
+                    cycle_mult=args.lr_restart_mul, max_lr=args.lr[0],
+                    min_lr=args.min_lr, warmup_steps=args.lr_warm_up,
+                    gamma=args.lr_decay_factor)
+            else:
+                self.scheduler = ReduceLROnPlateau(
+                    list(args.lr), mode="max", factor=args.lr_decay_factor,
+                    patience=args.patience, min_lr=args.min_lr)
+            self.lrs = list(self.scheduler.lrs)
+        else:
+            self.scheduler = None
+            self.lrs = [0.0, 0.0, 0.0]
+
+        # --- logging --------------------------------------------------------
+        self.summary_writer = None
+        if log_enabled and jax.process_index() == 0:
+            self.args.log_dir = os.path.join(args.log_dir,
+                                             f"{self.uid}_{args.dataset}")
+            self.args.ckpt_dir = os.path.join(self.args.log_dir, "weights")
+            os.makedirs(self.args.ckpt_dir, exist_ok=True)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.summary_writer = SummaryWriter(log_dir=self.args.log_dir)
+            except Exception:
+                self.summary_writer = None
+            self.save_config()
+
+        self.last_loss = None
+        self.last_metric_val = None
+        self.counter = 0
+        self.best_epoch = None
+        self.best_metric_val = None
+
+        self._train_step = jax.jit(self._make_train_step(),
+                                   donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._make_eval_step())
+
+    # ------------------------------------------------------------------ util
+    def _put_params(self, tree):
+        if self._replicated is None:
+            return tree
+        return jax.device_put(tree, self._replicated)
+
+    def _put_batch(self, batch):
+        arrs = tuple(jnp.asarray(b) for b in batch)
+        if self._batch_sharding is None:
+            return arrs
+        return tuple(jax.device_put(a, self._batch_sharding) for a in arrs)
+
+    # ---------------------------------------------------------- step builders
+    def _forward(self, params, clips, ids, mask, types, deterministic, rng):
+        return e2e_forward(params, clips, ids, mask, types, self.cfg,
+                           deterministic=deterministic, rng=rng,
+                           compute_dtype=self.compute_dtype)
+
+    def _task_loss(self, logits, gt):
+        return L.cross_entropy(logits, gt)
+
+    def _metric_pair(self, logits, gt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        pred = jnp.argmax(logits, axis=1)
+        return (jnp.sum(pred == gt).astype(jnp.float32),
+                jnp.asarray(float(pred.shape[0]), jnp.float32))
+
+    def _make_train_step(self):
+        def step(params, opt_state, clips, ids, mask, types, gt, lrs, rng):
+            def loss_fn(p):
+                logits = self._forward(p, clips, ids, mask, types, False, rng)
+                loss = self._task_loss(logits, gt)
+                if self.reg_strength:
+                    loss = loss + self.reg_strength * l2_reg(p)
+                return loss, logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            params, opt_state = O.apply_updates(params, grads, opt_state,
+                                                self.adam, self.labels, lrs)
+            m0, m1 = self._metric_pair(logits, gt)
+            return params, opt_state, loss, m0, m1
+
+        return step
+
+    def _make_eval_step(self):
+        def step(params, clips, ids, mask, types, gt):
+            logits = self._forward(params, clips, ids, mask, types, True, None)
+            loss = self._task_loss(logits, gt)
+            if self.reg_strength:
+                loss = loss + self.reg_strength * l2_reg(params)
+            m0, m1 = self._metric_pair(logits, gt)
+            return loss, m0, m1
+
+        return step
+
+    # ------------------------------------------------------------------ step
+    def step(self, *batch, is_train: bool):
+        """One batch -> (loss, metric_num, metric_den), host floats."""
+        batch = self._put_batch(batch)
+        if is_train:
+            rng = jax.random.fold_in(self.base_rng, self.counter)
+            lrs = jnp.asarray(self.lrs, jnp.float32)
+            (self.params, self.opt_state, loss, m0, m1) = self._train_step(
+                self.params, self.opt_state, *batch, lrs, rng)
+        else:
+            loss, m0, m1 = self._eval_step(self.params, *batch)
+        return float(loss), float(m0), float(m1)
+
+    # ------------------------------------------------------------- main loops
+    def write_summary(self, title, value, step):
+        if self.summary_writer is not None:
+            self.summary_writer.add_scalar(title, value, step)
+
+    def is_metric_val_better(self, epoch=None):
+        better = (self.best_metric_val is None
+                  or (self.last_metric_val < self.best_metric_val
+                      if self.metric_lower_better
+                      else self.last_metric_val > self.best_metric_val))
+        if better:
+            self.best_metric_val = self.last_metric_val
+            self.best_epoch = epoch
+        return better
+
+    def process_data(self, dl, is_train: bool, epoch: int):
+        """Generator over batches; in training mode yields the batch index
+        after each step (for mid-epoch validation), then -1 at the end —
+        the reference's protocol (agent_base.py:117-178)."""
+        if is_train:
+            self.logger.info("Training Phase")
+        elif not self.is_eval:
+            self.logger.info("Validation Phase")
+
+        metric_num = 0.0
+        metric_den = 0.0
+        batch_losses = []
+        n_batches = len(dl)
+
+        for i, batch_data in enumerate(dl):
+            if not is_train:
+                b_loss, m0, m1 = self.step(*batch_data, is_train=False)
+            else:
+                b_loss, m0, m1 = self.step(*batch_data, is_train=True)
+                self.counter += 1
+                if getattr(self.args, "use_cosine_scheduler", False):
+                    self.lrs = self.scheduler.step(epoch + i / n_batches)
+                for k, lr in enumerate(self.lrs):
+                    self.write_summary(f"LR Scheduler/{k}", lr, self.counter)
+                self.write_summary("Training/Batch Loss", b_loss, self.counter)
+                self.write_summary(f"Training/Batch {self.metric_name}",
+                                   m0 / max(m1, 1e-9), self.counter)
+                yield i
+
+            metric_num += m0
+            metric_den += m1
+            batch_losses.append(b_loss)
+
+        avg_loss = float(np.mean([l for l in batch_losses if l != 0]))
+        avg_metric = metric_num / max(metric_den, 1e-9)
+
+        if not is_train:
+            self.last_loss = avg_loss
+            self.last_metric_val = avg_metric
+            if (not self.is_eval and self.scheduler is not None
+                    and not getattr(self.args, "use_cosine_scheduler", False)):
+                self.lrs = self.scheduler.step(
+                    -avg_metric if self.metric_lower_better else avg_metric)
+            self.write_summary("Validation/Loss", avg_loss, epoch)
+            self.write_summary(f"Validation/{self.metric_name}", avg_metric, epoch)
+        else:
+            self.write_summary("Training/Loss", avg_loss, epoch)
+            self.write_summary(f"Training/{self.metric_name}", avg_metric, epoch)
+
+        yield -1
+
+    def do_training(self, train_dl, val_dl, eval_per_epoch: int = 1):
+        n = len(train_dl)
+        eval_idx = [n // eval_per_epoch * i for i in range(1, eval_per_epoch)]
+        for i in range(self.args.epoch):
+            self.logger.info(f"Epoch {i + 1}/{self.args.epoch}")
+            k = 0
+            for step in self.process_data(train_dl, True, i):
+                if step in eval_idx or step == -1:
+                    deque(self.process_data(val_dl, False,
+                                            eval_per_epoch * i + k), maxlen=0)
+                    if self.is_metric_val_better(i + 1):
+                        self.save_checkpoint(i + 1, "best")
+                    k += 1
+            if (i + 1) % self.args.ckpt_interval == 0 or i == self.args.epoch - 1:
+                self.save_checkpoint(i + 1)
+            self.logger.info("Epoch complete\n")
+        self.logger.info(f"Best result was seen in epoch {self.best_epoch}")
+
+    def do_sanity_check(self, dl):
+        for i in range(self.args.epoch):
+            self.logger.info(f"Epoch {i + 1}/{self.args.epoch}")
+            deque(self.process_data(dl, True, i), maxlen=0)
+
+    def do_evaluation(self, test_dl):
+        deque(self.process_data(test_dl, False, 0), maxlen=0)
+        self.logger.info(f"{self.metric_name}: {self.last_metric_val * 100:.5f}%")
+        self.logger.info(f"Loss: {self.last_loss:.5f}")
+
+    # ------------------------------------------------------------ checkpoints
+    def save_config(self):
+        # Reference drops the debug_mode key when it is falsy (agent_base.py:181-182).
+        if not getattr(self.args, "debug_mode", True):
+            del vars(self.args)["debug_mode"]
+        config = {k: v for k, v in vars(self.args).items()}
+        self.logger.info("======CONFIGURATIONS======")
+        for k, v in config.items():
+            self.logger.info(f"{str(k).upper()}: {v}")
+        config_path = os.path.join(self.args.log_dir, "config.json")
+        with open(config_path, "w") as f:
+            json.dump(config, f, default=str)
+        self.logger.info(f"Training config saved to {config_path}")
+
+    def save_checkpoint(self, epoch: int, name: str = "",
+                        only_model: bool = True):
+        if jax.process_index() != 0 or not self.log_enabled:
+            return
+        if name != "":
+            ckpt_path = os.path.join(self.args.ckpt_dir, f"{name}.pt")
+        else:
+            ckpt_path = os.path.join(
+                self.args.ckpt_dir,
+                C.checkpoint_name(epoch, self.last_loss or 0.0,
+                                  self.last_metric_val or 0.0))
+        C.save_checkpoint(
+            ckpt_path, self.params,
+            None if only_model else self.opt_state,
+            None if only_model or self.scheduler is None
+            else self.scheduler.state_dict())
+        self.logger.info(f"Checkpoint saved to {ckpt_path}")
+
+    def load_checkpoint(self, ckpt_path: str, only_model: bool = True):
+        ckpt = C.load_checkpoint(ckpt_path)
+        self.params = self._put_params(
+            jax.tree_util.tree_map(jnp.asarray, ckpt["model_state_dict"]))
+        if not only_model and "optimizer_state_dict" in ckpt:
+            self.opt_state = self._put_params(jax.tree_util.tree_map(
+                jnp.asarray, ckpt["optimizer_state_dict"]))
+            if "scheduler_state_dict" in ckpt and self.scheduler is not None:
+                self.scheduler.load_state_dict(ckpt["scheduler_state_dict"])
+        self.logger.info(f"Succesfully loaded model in {ckpt_path}")
+
+
+class AgentOE(AgentBase):
+    """Open-ended classification (reference lrce/agent/agent_oe.py)."""
+
+
+class AgentMC(AgentBase):
+    """Multiple-choice; optional pairwise hinge loss
+    (reference lrce/agent/agent_mc.py:20-41)."""
+
+    def _task_loss(self, logits, gt):
+        if getattr(self.args, "use_hinge_loss", False):
+            return L.hinge_loss(logits, gt, float(self.args.margin))
+        return L.cross_entropy(logits, gt)
+
+
+class AgentCount(AgentBase):
+    """Repetition-count regression: per-sample MSE metric, lower-is-better
+    (reference lrce/agent/agent_count.py)."""
+
+    metric_name = "MSE"
+    metric_lower_better = True
+
+    def _task_loss(self, logits, gt):
+        return jnp.mean(L.mse(logits, gt))
+
+    def _metric_pair(self, logits, gt):
+        per = L.mse(logits, gt)
+        return jnp.sum(per), jnp.asarray(float(per.shape[0]), jnp.float32)
+
+
+def agent_factory(task_type: str):
+    return {"oe": AgentOE, "mc": AgentMC, "count": AgentCount}[task_type]

@@ -12,6 +12,14 @@ def param_count(params: Any) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 
 
+def _safe_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """L2 norm with a zero-subgradient at 0 (torch norm backward convention);
+    a plain sqrt(sum(x^2)) has a NaN gradient at exactly-zero leaves."""
+    sq = jnp.sum(jnp.square(x.astype(jnp.float32)))
+    norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return jnp.where(sq > 0, norm, 0.0)
+
+
 def l2_reg(params: Any) -> jnp.ndarray:
     """Sum of *un-squared* L2 norms over every parameter leaf.
 
@@ -19,7 +27,7 @@ def l2_reg(params: Any) -> jnp.ndarray:
     lrce/agent/agent_base.py:103-108), which is NOT classic weight decay.
     """
     leaves = jax.tree_util.tree_leaves(params)
-    return sum(jnp.linalg.norm(x.astype(jnp.float32).reshape(-1)) for x in leaves)
+    return sum(_safe_norm(x) for x in leaves)
 
 
 def label_params(params: Any, label_fn: Callable[[str], str]) -> Any:
