@@ -149,7 +149,32 @@ def e2e_forward(params: dict, video_clips: jnp.ndarray, texts: jnp.ndarray,
 
 
 def config_from_args(args) -> E2EConfig:
-    """Build an E2EConfig from a parsed args namespace (lrce_tpu.config)."""
+    """Build an E2EConfig from a parsed args namespace (lrce_tpu.config).
+
+    Test hook: LRCE_TPU_TINY_MODEL=1 swaps in scaled-down Swin/BERT encoders
+    (same code paths, same 224x224 -> (7,7) geometry) so the full CLI can be
+    smoke-tested end-to-end without the 200M-param flagship.
+    """
+    import os
+
+    if os.environ.get("LRCE_TPU_TINY_MODEL"):
+        swin = S.SwinConfig(patch_size=(2, 4, 4), embed_dim=8,
+                            depths=(2, 2, 2, 2), num_heads=(2, 2, 2, 2),
+                            window_size=(8, 7, 7), drop_path_rate=0.0,
+                            patch_norm=True)
+        # feature_dim must divide the fusion's 12 heads -> 36
+        bert = B.BertConfig(hidden_size=36, num_layers=2, num_heads=2,
+                            intermediate_size=72)
+        return E2EConfig(
+            feature_dim=36, num_classes=args.num_classes,
+            drop_out_rate=getattr(args, "drop_out_rate", 0.1),
+            video_feature_res=tuple(args.video_feature_res),
+            video_feature_dim=64,
+            frame_sample_size=args.frame_sample_size,
+            temporal_scale=tuple(args.temporal_scale),
+            text_seq_len=args.text_seq_len, task_type=args.task_type,
+            bert=bert, swin=swin)
+
     return E2EConfig(
         feature_dim=args.feature_dim,
         num_classes=args.num_classes,

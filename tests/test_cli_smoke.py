@@ -1,0 +1,92 @@
+"""End-to-end CLI smoke test: real train.py / eval.py code paths over a
+synthetic TGIF dataset with the tiny-model hook (LRCE_TPU_TINY_MODEL)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "what", "is", "the", "man", "doing", "playing", "guitar",
+         "a", "dog", "runs", "red", "blue", "green", "cat", "?", "!"]
+
+
+@pytest.fixture
+def tgif_dir(tmp_path, monkeypatch):
+    from PIL import Image
+
+    gifs = tmp_path / "gifs"
+    gifs.mkdir()
+    rng = np.random.RandomState(0)
+    for name, n in [("g1", 10), ("g2", 18), ("g3", 8), ("g4", 25)]:
+        frames = [Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8))
+                  for _ in range(n)]
+        frames[0].save(gifs / f"{name}.gif", save_all=True,
+                       append_images=frames[1:], duration=50, loop=0)
+
+    ann = tmp_path / "annotations"
+    ann.mkdir()
+    rows = ["gif_name\tquestion\tanswer\tvid_id",
+            "g1\twhat is the man doing?\tguitar\t0",
+            "g2\ta dog runs!\tred\t1",
+            "g3\twhat is the dog doing?\tblue\t2",
+            "g4\twhat is the cat doing?\tguitar\t3"]
+    for split in ("Train", "Test", "Total"):
+        (ann / f"{split}_frameqa_question.csv").write_text("\n".join(rows) + "\n")
+
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(VOCAB) + "\n")
+    monkeypatch.setenv("LRCE_TPU_BERT_VOCAB", str(vocab_path))
+    monkeypatch.setenv("LRCE_TPU_TINY_MODEL", "1")
+    return tmp_path
+
+
+def make_train_args(tgif_dir, tmp_path, **over):
+    from lrce_tpu import config as cfg_mod
+
+    argv = ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
+            "--log-dir", str(tmp_path / "runs"), "--batch-size", "2",
+            "--epoch", "1", "--num-workers", "1", "--lr", "1e-4",
+            "--use-cosine-scheduler", "--reg-strength", "0"]
+    for k, v in over.items():
+        argv += [k] + ([v] if isinstance(v, str) else [])
+    return cfg_mod.parse_arg_train(argv)
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tgif_dir, tmp_path):
+    import train as train_cli
+
+    args = make_train_args(tgif_dir, tmp_path)
+    train_cli.main(args)
+
+    # run dir with config.json + checkpoints written
+    run_dirs = os.listdir(args.log_dir.rsplit("/", 1)[0]) \
+        if "/" in args.log_dir else []
+    assert os.path.exists(os.path.join(args.log_dir, "config.json"))
+    weights = os.listdir(args.ckpt_dir)
+    assert "best.pt" in weights
+
+    with open(os.path.join(args.log_dir, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["dataset"] == "tgif-frameqa"
+
+
+@pytest.mark.slow
+def test_eval_cli_with_trained_checkpoint(tgif_dir, tmp_path):
+    import eval as eval_cli
+    import train as train_cli
+    from lrce_tpu import config as cfg_mod
+
+    args = make_train_args(tgif_dir, tmp_path)
+    train_cli.main(args)
+    best = os.path.join(args.ckpt_dir, "best.pt")
+
+    eval_args = cfg_mod.parse_arg_eval(
+        ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
+         "--model-path", best, "--batch-size", "2", "--num-workers", "1"])
+    eval_cli.main(eval_args)  # must complete and log accuracy without error
