@@ -53,7 +53,7 @@ class BertWordPieceTokenizer:
     """do_lower_case BERT tokenizer over a vocab.txt."""
 
     def __init__(self, vocab_path: str, do_lower_case: bool = True,
-                 max_word_chars: int = 100):
+                 max_word_chars: int = 100, use_native: bool = True):
         self.vocab: Dict[str, int] = {}
         with open(vocab_path, "r", encoding="utf-8") as f:
             for i, line in enumerate(f):
@@ -65,6 +65,18 @@ class BertWordPieceTokenizer:
         self.unk_id = self.vocab[UNK]
         self.cls_id = self.vocab[CLS]
         self.sep_id = self.vocab[SEP]
+
+        # C++ fast path (ASCII inputs); parity-tested vs this implementation.
+        self._native = None
+        if use_native and do_lower_case and \
+                not os.environ.get("LRCE_TPU_DISABLE_NATIVE"):
+            try:
+                from lrce_tpu import native
+
+                if native.native_available():
+                    self._native = native.NativeWordPiece(vocab_path)
+            except Exception:
+                self._native = None
 
     # -- basic tokenization --------------------------------------------------
 
@@ -160,6 +172,11 @@ class BertWordPieceTokenizer:
         Mirrors the reference tokenizer call: add_special_tokens=True,
         padding='max_length', NO truncation (e2e_dataset.py:165-174).
         """
+        if self._native is not None and padding == "max_length":
+            got = self._native.encode(text, text_pair, max_length, truncation)
+            if got is not None:
+                return got
+
         a = self.convert_tokens_to_ids(self.tokenize(text))
         ids = [self.cls_id] + a + [self.sep_id]
         types = [0] * len(ids)

@@ -131,6 +131,35 @@ class ClipCache:
                 self._store.popitem(last=False)
 
 
+def _native_gif_clips(path: str, frames_per_clip: int,
+                      temporal_scale: Sequence[int],
+                      frame_size: Tuple[int, int]) -> Optional[np.ndarray]:
+    """GIF fast path through the C++ decoder + PIL-exact native resize.
+
+    Byte-identical to the cv2+PIL path on palette GIFs (tested); returns
+    None when the native library is unavailable so callers fall back.
+    """
+    if os.environ.get("LRCE_TPU_DISABLE_NATIVE"):
+        return None
+    try:
+        from lrce_tpu import native
+        if not native.native_available():
+            return None
+        _, _, n = native.gif_probe(path)
+        if n < frames_per_clip:
+            raise ValueError(
+                f"Error in video {path}, too many frames_per_clip, "
+                f"set lower value")
+        idx = clip_indices(n, frames_per_clip, temporal_scale)
+        frames = native.gif_decode(path, max_frames=int(idx.max()) + 1)
+        sampled = np.stack([
+            native.resize_bilinear(frames[int(i)], frame_size)
+            for i in idx.reshape(-1)], axis=0)
+        return sampled.reshape(idx.shape + sampled.shape[1:])
+    except (IOError, RuntimeError):
+        return None  # corrupt/unsupported GIF -> cv2 fallback
+
+
 def get_video_clips(path: str, frames_per_clip: int = 5,
                     temporal_scale: Sequence[int] = (1, 2, 3),
                     frame_size: Tuple[int, int] = (224, 224),
@@ -139,7 +168,8 @@ def get_video_clips(path: str, frames_per_clip: int = 5,
     (sum(scales), frames_per_clip, H, W, 3) float32 in [0, 1].
 
     Same output as the reference `_get_video_clips` (e2e_dataset.py:73-111)
-    modulo layout: channels-last instead of CHW.
+    modulo layout: channels-last instead of CHW. GIFs go through the native
+    C++ decoder when available.
     """
     key = (path, tuple(temporal_scale), frames_per_clip, frame_size)
     if cache is not None:
@@ -147,13 +177,18 @@ def get_video_clips(path: str, frames_per_clip: int = 5,
         if hit is not None:
             return hit.astype(np.float32) / 255.0
 
-    n = count_frames(path)
-    if n < frames_per_clip:
-        raise ValueError(
-            f"Error in video {path}, too many frames_per_clip, set lower value")
-    idx = clip_indices(n, frames_per_clip, temporal_scale)
-    flat = decode_sampled_frames(path, idx, frame_size)
-    clips = flat.reshape(idx.shape + flat.shape[1:])  # (S, fpc, H, W, 3) uint8
+    clips = None
+    if path.lower().endswith(".gif"):
+        clips = _native_gif_clips(path, frames_per_clip, temporal_scale,
+                                  frame_size)
+    if clips is None:
+        n = count_frames(path)
+        if n < frames_per_clip:
+            raise ValueError(
+                f"Error in video {path}, too many frames_per_clip, set lower value")
+        idx = clip_indices(n, frames_per_clip, temporal_scale)
+        flat = decode_sampled_frames(path, idx, frame_size)
+        clips = flat.reshape(idx.shape + flat.shape[1:])  # (S,fpc,H,W,3) u8
 
     if cache is not None:
         cache.put(key, clips)
