@@ -26,7 +26,7 @@ def main() -> None:
     from lrce_tpu.models import e2e as E
 
     cfg = E.E2EConfig(num_classes=1000, temporal_scale=(3,), text_seq_len=32)
-    params = E.e2e_init(jax.random.PRNGKey(0), cfg)
+    params = E.e2e_init_jit(jax.random.PRNGKey(0), cfg)
 
     batch = 16  # 16 questions x 3 clips = 48 clips/step
     clips = jax.random.uniform(jax.random.PRNGKey(1),

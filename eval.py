@@ -14,7 +14,7 @@ import jax
 
 from lrce_tpu import config as cfg_mod
 from lrce_tpu.data.loader import DataLoader
-from lrce_tpu.models.e2e import config_from_args, e2e_init
+from lrce_tpu.models.e2e import config_from_args, e2e_init_jit
 from lrce_tpu.parallel.mesh import initialize_multihost, make_mesh
 from lrce_tpu.train.agent import agent_factory
 from lrce_tpu.utils.logging import get_logger, setup_logging
@@ -38,7 +38,7 @@ def main(eval_args) -> None:
     # Eval builds the model with default dropout like the reference
     # (eval.py:66-74) — inert because eval runs deterministic.
     model_cfg = config_from_args(eval_args)
-    params = e2e_init(jax.random.PRNGKey(0), model_cfg)
+    params = e2e_init_jit(jax.random.PRNGKey(0), model_cfg)
 
     mesh = make_mesh()
     num_devices = mesh.devices.size

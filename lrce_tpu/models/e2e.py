@@ -43,6 +43,15 @@ class E2EConfig(NamedTuple):
     swin: S.SwinConfig = S.SWIN_BASE
 
 
+def e2e_init_jit(rng, cfg: E2EConfig, dtype=jnp.float32) -> dict:
+    """e2e_init compiled into ONE device program.
+
+    Plain e2e_init dispatches hundreds of small init kernels, which is
+    minutes of round-trips on a remote-tunneled TPU; jitting fuses them.
+    """
+    return jax.jit(e2e_init, static_argnums=(1, 2))(rng, cfg, dtype)
+
+
 def e2e_init(rng, cfg: E2EConfig, dtype=jnp.float32) -> dict:
     k1, k2, k3 = jax.random.split(rng, 3)
     if cfg.task_type == "oe":

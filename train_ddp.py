@@ -11,7 +11,7 @@ import jax
 
 import parser as legacy_parser
 from lrce_tpu.data.loader import DataLoader
-from lrce_tpu.models.e2e import config_from_args, e2e_init
+from lrce_tpu.models.e2e import config_from_args, e2e_init_jit
 from lrce_tpu.parallel.mesh import initialize_multihost, make_mesh
 from lrce_tpu.pretrained import load_pretrained
 from lrce_tpu.train.agent import agent_factory
@@ -35,7 +35,7 @@ def main(train_args) -> None:
         sys.exit(-1)
 
     model_cfg = config_from_args(train_args)
-    params = load_pretrained(e2e_init(jax.random.PRNGKey(0), model_cfg))
+    params = load_pretrained(e2e_init_jit(jax.random.PRNGKey(0), model_cfg))
 
     mesh = make_mesh()
     num_devices = mesh.devices.size
