@@ -223,11 +223,13 @@ def patch_embed(p: dict, x: jnp.ndarray, cfg: SwinConfig) -> jnp.ndarray:
             (0, 0)]
     if any(q for _, q in pads):
         x = jnp.pad(x, pads)
+    # conv in the activation dtype (MXU still accumulates f32 internally);
+    # an explicit preferred_element_type=f32 here breaks the transpose rule
+    # under autodiff (f32 cotangent x bf16 kernel dtype mismatch).
     y = jax.lax.conv_general_dilated(
         x, p["proj"]["w"].astype(x.dtype), window_strides=cfg.patch_size,
-        padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
-    y = (y + p["proj"]["b"].astype(jnp.float32)).astype(x.dtype)
+        padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    y = (y.astype(jnp.float32) + p["proj"]["b"].astype(jnp.float32)).astype(x.dtype)
     if "norm" in p:
         y = layer_norm(p["norm"], y, eps=LN_EPS)
     return y

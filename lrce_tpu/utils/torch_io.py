@@ -121,6 +121,43 @@ def convert_video_pos_embed(sd: StateDict, prefix: str) -> dict:
     }
 
 
+def inflate_swin2d(sd: StateDict, window_size=(8, 7, 7),
+                   patch_size_d: int = 2) -> StateDict:
+    """Inflate a 2D Swin state dict to the 3D layout (capability parity with
+    reference video_swin_ori.py:587-639):
+
+      - drop relative_position_index / attn_mask buffers (re-derived),
+      - patch_embed conv (O, I, H, W) -> (O, I, D, H, W) / D,
+      - bicubic-resize each relative_position_bias_table to the 3D window's
+        spatial extent, then tile along the temporal axis (2*wd - 1 copies).
+
+    Returns a 3D-layout state dict consumable by convert_swin.
+    """
+    import torch
+    import torch.nn.functional as TF
+
+    out: StateDict = {}
+    wd, wh, ww = window_size
+    l2 = (2 * wh - 1) * (2 * ww - 1)
+    for k, v in sd.items():
+        if "relative_position_index" in k or "attn_mask" in k:
+            continue
+        if k == "patch_embed.proj.weight" and v.ndim == 4:
+            v = np.repeat(v[:, :, None], patch_size_d, axis=2) / patch_size_d
+        elif "relative_position_bias_table" in k:
+            l1, nh = v.shape
+            if l1 != l2:
+                s1 = int(round(l1 ** 0.5))
+                t = torch.from_numpy(np.ascontiguousarray(v))
+                t = t.permute(1, 0).view(1, nh, s1, s1)
+                t = TF.interpolate(t, size=(2 * wh - 1, 2 * ww - 1),
+                                   mode="bicubic")
+                v = t.view(nh, l2).permute(1, 0).numpy()
+            v = np.tile(v, (2 * wd - 1, 1))
+        out[k] = v
+    return out
+
+
 def convert_e2e(sd: StateDict, depths=(2, 2, 18, 2)) -> dict:
     """Full reference E2E checkpoint -> lrce_tpu params.
 

@@ -1,0 +1,69 @@
+"""Tests for tools/: offline feature extraction and the 2D->3D inflation."""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture
+def gif_dir(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "gifs"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for name, n in [("a", 12), ("b", 20)]:
+        frames = [Image.fromarray(rng.randint(0, 255, (24, 24, 3), np.uint8))
+                  for _ in range(n)]
+        frames[0].save(d / f"{name}.gif", save_all=True,
+                       append_images=frames[1:], duration=50)
+    return d
+
+
+def test_extract_frames_tool(gif_dir, tmp_path):
+    from tools.extract_features import main
+
+    out = tmp_path / "banks"
+    main(["frames", "--videos-dir", str(gif_dir), "--out-dir", str(out),
+          "--scales", "1", "2", "--frame-size", "16"])
+    bank = np.load(out / "a.npy")
+    assert bank.shape == (3, 5, 16, 16, 3)  # sum([1,2]) clips
+    assert bank.dtype == np.float32
+
+    # banks feed the is_frame_extracted dataset path
+    from lrce_tpu.data.sampling import build_scale_idx
+
+    idx = build_scale_idx([2])
+    assert bank[idx].shape == (2, 5, 16, 16, 3)
+
+
+def test_inflate_swin2d_shapes():
+    from lrce_tpu.utils.torch_io import inflate_swin2d
+
+    rng = np.random.RandomState(0)
+    wd, wh, ww = 8, 7, 7
+    sd = {
+        "patch_embed.proj.weight": rng.randn(96, 3, 4, 4).astype(np.float32),
+        "layers.0.blocks.0.attn.relative_position_bias_table":
+            rng.randn((2 * 7 - 1) ** 2, 3).astype(np.float32),
+        "layers.0.blocks.0.attn.relative_position_index":
+            np.zeros((49, 49), np.int64),
+        "norm.weight": np.ones(96, np.float32),
+    }
+    out = inflate_swin2d(sd, (wd, wh, ww), patch_size_d=2)
+    assert "layers.0.blocks.0.attn.relative_position_index" not in out
+    assert out["patch_embed.proj.weight"].shape == (96, 3, 2, 4, 4)
+    # conv inflation preserves the response to a temporally-constant input
+    np.testing.assert_allclose(
+        out["patch_embed.proj.weight"].sum(axis=2),
+        sd["patch_embed.proj.weight"], rtol=1e-6)
+    table = out["layers.0.blocks.0.attn.relative_position_bias_table"]
+    assert table.shape == ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), 3)
+    # temporal tiling: every (2wd-1) block equals the 2D-resized table
+    l2 = (2 * wh - 1) * (2 * ww - 1)
+    np.testing.assert_array_equal(table[:l2], table[l2:2 * l2])
