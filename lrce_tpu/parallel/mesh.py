@@ -35,6 +35,13 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(arr, tuple(axis_names))
 
 
+def make_mesh_2d(data: int, model: int,
+                 axis_names: Sequence[str] = ("data", "model")) -> Mesh:
+    """data x model mesh for combined DP + tensor parallelism."""
+    devices = np.asarray(jax.devices()[:data * model]).reshape(data, model)
+    return Mesh(devices, tuple(axis_names))
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

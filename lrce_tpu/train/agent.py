@@ -129,9 +129,15 @@ class AgentBase:
 
     # ------------------------------------------------------------------ util
     def _put_params(self, tree):
+        """Place params (and optimizer state, which mirrors the param tree)
+        on the mesh: replicated for pure data parallelism, or sharded by the
+        tensor-parallel rules when the mesh has a 'model' axis."""
         if self._replicated is None:
             return tree
-        return jax.device_put(tree, self._replicated)
+        from lrce_tpu.parallel.sharding import e2e_param_shardings
+
+        shardings = e2e_param_shardings(tree, self.mesh)
+        return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
     def _put_batch(self, batch):
         arrs = tuple(jnp.asarray(b) for b in batch)
