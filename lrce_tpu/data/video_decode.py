@@ -104,6 +104,30 @@ def decode_sampled_frames(path: str, indices: np.ndarray,
     return np.stack([lut[int(i)] for i in indices.reshape(-1)], axis=0)
 
 
+def video_to_frames(video_path: str = ".", out_dir: str = ".",
+                    output_dim=(224, 224)) -> None:
+    """Dump every frame of every .avi/.mp4 under video_path as JPEGs, one
+    directory per video (reference utils.py:14-37 surface)."""
+    import cv2
+
+    allowed = (".avi", ".mp4")
+    videos = [v for v in os.listdir(video_path)
+              if os.path.splitext(v)[-1].lower() in allowed]
+    for video in videos:
+        cap = cv2.VideoCapture(os.path.join(video_path, video))
+        out_vid_dir = os.path.join(out_dir, os.path.splitext(video)[0])
+        os.makedirs(out_vid_dir, exist_ok=True)
+        count = 1
+        ok, image = cap.read()
+        while ok:
+            if output_dim:
+                image = cv2.resize(image, output_dim)
+            cv2.imwrite(os.path.join(out_vid_dir, f"{count:03}.jpg"), image)
+            ok, image = cap.read()
+            count += 1
+        cap.release()
+
+
 class ClipCache:
     """Thread-safe LRU cache of preprocessed uint8 clip tensors."""
 

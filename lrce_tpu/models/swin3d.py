@@ -50,6 +50,10 @@ class SwinConfig(NamedTuple):
     qkv_bias: bool = True
     drop_path_rate: float = 0.2
     patch_norm: bool = True
+    # rematerialize each block pair under autodiff (jax.checkpoint) — trades
+    # recompute for activation memory at large training batches; the
+    # reference's use_checkpoint analogue (video_swin_ori.py:295-303)
+    remat: bool = False
 
 
 SWIN_BASE = SwinConfig()
@@ -423,8 +427,7 @@ def swin_stage(stage_params: dict, x: jnp.ndarray, *, depth: int,
         stage_params["blocks"])
     rate_pairs = jnp.asarray(np.asarray(dp_rates, np.float32)).reshape(-1, 2)
 
-    def body(y, xs):
-        pair_params, rates, idx = xs
+    def pair_fn(y, pair_params, rates, idx):
         p0 = jax.tree_util.tree_map(lambda t: t[0], pair_params)
         p1 = jax.tree_util.tree_map(lambda t: t[1], pair_params)
         r0 = None if rng is None else jax.random.fold_in(rng, 2 * idx)
@@ -437,7 +440,14 @@ def swin_stage(stage_params: dict, x: jnp.ndarray, *, depth: int,
                        rel_index=rel_index, mask=mask if shifted else None,
                        dp_rate=rates[1], deterministic=deterministic, rng=r1,
                        use_pallas=use_pallas)
-        return y, None
+        return y
+
+    if cfg.remat:
+        pair_fn = jax.checkpoint(pair_fn, static_argnums=())
+
+    def body(y, xs):
+        pair_params, rates, idx = xs
+        return pair_fn(y, pair_params, rates, idx), None
 
     x, _ = jax.lax.scan(body, x, (pairs, rate_pairs, jnp.arange(depth // 2)))
 

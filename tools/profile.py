@@ -28,7 +28,11 @@ def main(argv=None):
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--latency", action="store_true",
+                   help="measure p50/p90 per-question latency (batch 1)")
     args = p.parse_args(argv)
+    if args.latency:
+        args.batch = 1
 
     from lrce_tpu.models import e2e as E
 
@@ -87,6 +91,19 @@ def main(argv=None):
             for _ in range(3):
                 step()
         print(f"trace written to {args.trace_dir}")
+
+    if args.latency:
+        times = []
+        for _ in range(max(args.iters, 20)):
+            t0 = time.perf_counter()
+            step()
+            times.append(time.perf_counter() - t0)
+        import numpy as np
+
+        p50, p90 = np.percentile(times, [50, 90]) * 1e3
+        print(f"per-question latency: p50 {p50:.1f} ms  p90 {p90:.1f} ms "
+              f"(batch 1, 3 clips, bf16)")
+        return
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
