@@ -158,15 +158,28 @@ def inflate_swin2d(sd: StateDict, window_size=(8, 7, 7),
     return out
 
 
-def convert_e2e(sd: StateDict, depths=(2, 2, 18, 2)) -> dict:
+def convert_e2e(sd: StateDict, depths=(2, 2, 18, 2), bert_layers: int = 12,
+                fusion_layers: int = 12) -> dict:
     """Full reference E2E checkpoint -> lrce_tpu params.
 
     Reference module tree (lrce/models/e2e.py:7-25): fusion_model.* /
     text_extractor.bert.* / video_extractor.swin.*.
     """
+    head = {
+        "video_pos_embed": convert_video_pos_embed(
+            sd, "fusion_model.video_pos_embed"),
+        "question_pos_embed": convert_text_pos_embed(
+            sd, "fusion_model.question_pos_embed"),
+        "fusion_transformer": convert_fusion_transformer(
+            sd, "fusion_model.fusion_transformer", num_layers=fusion_layers),
+        "final_fc": convert_dense(sd, "fusion_model.final_fc"),
+    }
+    if "fusion_model.projection_layer.weight" in sd:
+        head["projection_layer"] = convert_dense(sd, "fusion_model.projection_layer")
     return {
-        "fusion_model": convert_lrce_head(sd, "fusion_model"),
-        "text_extractor": convert_bert(sd, "text_extractor"),
+        "fusion_model": head,
+        "text_extractor": convert_bert(sd, "text_extractor",
+                                       num_layers=bert_layers),
         "video_extractor": convert_swin(sd, "video_extractor.swin",
                                         depths=depths),
     }

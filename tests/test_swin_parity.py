@@ -33,23 +33,27 @@ def _stub_modules():
         def forward(self, x):  # eval-mode identity
             return x
 
-    layers_mod = types.ModuleType("timm.models.layers")
+    import importlib.machinery
+
+    def make_mod(name):
+        mod = types.ModuleType(name)
+        # a real ModuleSpec so importlib.util.find_spec on the stub works
+        # (transformers probes optional deps that way)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = mod
+        return mod
+
+    make_mod("timm")
+    make_mod("timm.models")
+    layers_mod = make_mod("timm.models.layers")
     layers_mod.DropPath = DropPath
     layers_mod.trunc_normal_ = torch.nn.init.trunc_normal_
-    timm_mod = types.ModuleType("timm")
-    models_mod = types.ModuleType("timm.models")
-    sys.modules["timm"] = timm_mod
-    sys.modules["timm.models"] = models_mod
-    sys.modules["timm.models.layers"] = layers_mod
 
-    mmcv = types.ModuleType("mmcv")
-    mmcv_utils = types.ModuleType("mmcv.utils")
+    make_mod("mmcv")
+    mmcv_utils = make_mod("mmcv.utils")
     mmcv_utils.get_logger = lambda *a, **k: __import__("logging").getLogger("x")
-    mmcv_runner = types.ModuleType("mmcv.runner")
+    mmcv_runner = make_mod("mmcv.runner")
     mmcv_runner.load_checkpoint = lambda *a, **k: None
-    sys.modules["mmcv"] = mmcv
-    sys.modules["mmcv.utils"] = mmcv_utils
-    sys.modules["mmcv.runner"] = mmcv_runner
 
 
 def _load_reference_swin():
