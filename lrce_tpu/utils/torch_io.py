@@ -158,13 +158,43 @@ def inflate_swin2d(sd: StateDict, window_size=(8, 7, 7),
     return out
 
 
-def convert_e2e(sd: StateDict, depths=(2, 2, 18, 2), bert_layers: int = 12,
-                fusion_layers: int = 12) -> dict:
+def _count_indexed(sd: StateDict, pattern: str) -> int:
+    """Count consecutive indices i for which pattern.format(i) names a key."""
+    i = 0
+    while pattern.format(i) in sd:
+        i += 1
+    return i
+
+
+def infer_e2e_structure(sd: StateDict):
+    """Infer (swin depths, bert layer count, fusion layer count) from a
+    reference-named state dict, so checkpoints of any scale convert."""
+    n_stages = _count_indexed(
+        sd, "video_extractor.swin.layers.{}.blocks.0.norm1.weight")
+    depths = tuple(
+        _count_indexed(
+            sd, "video_extractor.swin.layers.%d.blocks.{}.norm1.weight" % s)
+        for s in range(n_stages))
+    bert_layers = _count_indexed(
+        sd, "text_extractor.bert.encoder.layer.{}.output.dense.weight")
+    fusion_layers = _count_indexed(
+        sd, "fusion_model.fusion_transformer.transformer.layers.{}.norm1.weight")
+    return depths, bert_layers, fusion_layers
+
+
+def convert_e2e(sd: StateDict, depths=None, bert_layers: int = None,
+                fusion_layers: int = None) -> dict:
     """Full reference E2E checkpoint -> lrce_tpu params.
 
     Reference module tree (lrce/models/e2e.py:7-25): fusion_model.* /
-    text_extractor.bert.* / video_extractor.swin.*.
+    text_extractor.bert.* / video_extractor.swin.*. Structure (stage depths,
+    layer counts) is inferred from the keys unless given explicitly.
     """
+    inf_depths, inf_bert, inf_fusion = infer_e2e_structure(sd)
+    depths = depths if depths is not None else (inf_depths or (2, 2, 18, 2))
+    bert_layers = bert_layers if bert_layers is not None else (inf_bert or 12)
+    fusion_layers = (fusion_layers if fusion_layers is not None
+                     else (inf_fusion or 12))
     head = {
         "video_pos_embed": convert_video_pos_embed(
             sd, "fusion_model.video_pos_embed"),

@@ -77,6 +77,50 @@ def test_train_cli_end_to_end(tgif_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_cli_with_reference_torch_checkpoint(tgif_dir, tmp_path):
+    """eval.py --model-path <reference torch .pt> must ingest a
+    reference-named torch checkpoint through the converters and complete —
+    the reference-checkpoint parity-evaluation workflow end to end."""
+    import torch
+
+    import eval as eval_cli
+    from lrce_tpu import config as cfg_mod
+    from oracle_utils import TorchE2EOracle, build_reference_named_state_dict
+    from test_swin_parity import _load_reference_swin
+
+    torch.manual_seed(0)
+    oracle_mod = _load_reference_swin()
+    # geometry must match the LRCE_TPU_TINY_MODEL config (e2e.config_from_args)
+    swin = oracle_mod.SwinTransformer3D(
+        pretrained=None, pretrained2d=False, patch_size=(2, 4, 4),
+        embed_dim=8, depths=[2, 2, 2, 2], num_heads=[2, 2, 2, 2],
+        window_size=(8, 7, 7), drop_path_rate=0.0, patch_norm=True)
+
+    from transformers import BertConfig as HFConfig, BertModel
+
+    hf = BertModel(HFConfig(
+        vocab_size=30522, hidden_size=36, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=72,
+        max_position_embeddings=512, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        hidden_act="gelu"))
+
+    oracle = TorchE2EOracle(swin, hf, feature_dim=36, video_dim=64,
+                            num_classes=1000, text_len=30, n_clips=3,
+                            t_prime=3, hw=49, fusion_layers=2,
+                            fusion_heads=12, fusion_dff=72)
+    sd = build_reference_named_state_dict(oracle, numpy=False)
+    ckpt_path = tmp_path / "reference_best.pt"
+    torch.save({"model_state_dict": sd}, str(ckpt_path))
+
+    eval_args = cfg_mod.parse_arg_eval(
+        ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
+         "--model-path", str(ckpt_path), "--batch-size", "2",
+         "--num-workers", "1"])
+    eval_cli.main(eval_args)  # ingests the torch ckpt and evaluates
+
+
+@pytest.mark.slow
 def test_eval_cli_with_trained_checkpoint(tgif_dir, tmp_path):
     import eval as eval_cli
     import train as train_cli
