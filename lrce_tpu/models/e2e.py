@@ -132,6 +132,21 @@ def e2e_forward(params: dict, video_clips: jnp.ndarray, texts: jnp.ndarray,
 
     Output: (B, num_classes) for oe, (B, 5) for mc, (B,) for count.
     """
+    if video_clips.ndim != 6:
+        raise ValueError(
+            f"video_clips must be (B, n_clips, T, H, W, 3); got shape "
+            f"{video_clips.shape}")
+    if video_clips.shape[1] != sum(cfg.temporal_scale):
+        raise ValueError(
+            f"video_clips has {video_clips.shape[1]} clips but "
+            f"temporal_scale={cfg.temporal_scale} implies "
+            f"{sum(cfg.temporal_scale)}")
+    expected_text_ndim = 3 if cfg.task_type == "mc" else 2
+    if texts.ndim != expected_text_ndim:
+        raise ValueError(
+            f"texts must have ndim {expected_text_ndim} for task "
+            f"'{cfg.task_type}'; got shape {texts.shape}")
+
     r_vid, r_txt, r_fuse = (jax.random.split(rng, 3) if rng is not None
                             else (None, None, None))
     video_features = extract_video_features(

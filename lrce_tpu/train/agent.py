@@ -140,6 +140,8 @@ class AgentBase:
         return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
     def _put_batch(self, batch):
+        if all(isinstance(b, jax.Array) for b in batch):
+            return batch  # already device-resident (prefetched)
         arrs = tuple(jnp.asarray(b) for b in batch)
         if self._batch_sharding is None:
             return arrs
@@ -230,7 +232,10 @@ class AgentBase:
         batch_losses = []
         n_batches = len(dl)
 
-        for i, batch_data in enumerate(dl):
+        from lrce_tpu.data.prefetch import device_prefetch
+
+        batches = device_prefetch(dl, self._batch_sharding)
+        for i, batch_data in enumerate(batches):
             if not is_train:
                 b_loss, m0, m1 = self.step(*batch_data, is_train=False)
             else:
