@@ -392,8 +392,9 @@ def _pallas_supported(x_shape, window, max_dim: int = 512) -> bool:
     except Exception:
         return False
     b, d, h, w, c = x_shape
+    # c must be lane-aligned (128) for the kernel's in-register reshapes
     return (d % window[0] == 0 and h % window[1] == 0 and w % window[2] == 0
-            and c <= max_dim)
+            and c % 128 == 0 and c <= max_dim)
 
 
 def swin_stage(stage_params: dict, x: jnp.ndarray, *, depth: int,

@@ -57,6 +57,48 @@ def make_train_args(tgif_dir, tmp_path, **over):
     return cfg_mod.parse_arg_train(argv)
 
 
+@pytest.fixture
+def tgif_mc_count_dir(tgif_dir):
+    """Add action (mc) and count annotations over the same gifs."""
+    ann = tgif_dir / "annotations"
+    mc_rows = ["gif_name\tquestion\ta1\ta2\ta3\ta4\ta5\tanswer\tvid_id"]
+    for i, (g, ans) in enumerate([("g1", 0), ("g2", 3), ("g3", 1), ("g4", 4)]):
+        mc_rows.append(f"{g}\twhat is the man doing?\tplaying guitar\t"
+                       f"a dog runs\tred\tblue\tgreen\t{ans}\t{i}")
+    count_rows = ["gif_name\tquestion\tanswer\tvid_id"]
+    for i, (g, n) in enumerate([("g1", 3), ("g2", 7), ("g3", 2), ("g4", 5)]):
+        count_rows.append(f"{g}\thow many times does the dog run?\t{n}\t{i}")
+    for split in ("Train", "Test", "Total"):
+        (ann / f"{split}_action_question.csv").write_text(
+            "\n".join(mc_rows) + "\n")
+        (ann / f"{split}_count_question.csv").write_text(
+            "\n".join(count_rows) + "\n")
+    return tgif_dir
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dataset,extra", [
+    ("tgif-action", ["--use-hinge-loss"]),
+    ("tgif-count", []),
+])
+def test_train_cli_mc_and_count(tgif_mc_count_dir, tmp_path, dataset, extra):
+    """MC (QA-pair tokenization + hinge loss) and count (MSE regression)
+    through the real CLI."""
+    import train as train_cli
+    from lrce_tpu import config as cfg_mod
+
+    argv = ["--dataset", dataset, "--dataset-dir", str(tgif_mc_count_dir),
+            "--log-dir", str(tmp_path / "runs"), "--batch-size", "2",
+            "--epoch", "1", "--num-workers", "1", "--lr", "1e-4",
+            "--use-cosine-scheduler", "--reg-strength", "0"] + extra
+    args = cfg_mod.parse_arg_train(argv)
+    train_cli.main(args)
+    import os
+
+    weights = os.listdir(args.ckpt_dir)
+    assert "best.pt" in weights
+
+
 @pytest.mark.slow
 def test_train_cli_end_to_end(tgif_dir, tmp_path):
     import train as train_cli
