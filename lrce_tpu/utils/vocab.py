@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 from collections import Counter
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
 
@@ -62,6 +63,31 @@ def build_common_answer_dict(annotation_files: List[str], k: int = 1500,
     if reverse_key:
         return {v: k_ for k_, v in answer_dict.items()}
     return answer_dict
+
+
+@lru_cache(maxsize=100000)
+def load_npy_with_cache(path: str):
+    """Cached .npy load (reference utils.py:158-160)."""
+    import numpy as np
+
+    return np.load(path)
+
+
+def load_features_to_memory(video_features_path: str, text_features_path: str):
+    """Preload whole offline-feature directories keyed by integer id
+    (reference utils.py:123-136)."""
+    import numpy as np
+
+    video_features_dict, text_features_dict = {}, {}
+    for file_feature in os.listdir(video_features_path):
+        fid, _ = os.path.splitext(file_feature)
+        video_features_dict[int(fid)] = np.load(
+            os.path.join(video_features_path, file_feature))
+    for file_feature in os.listdir(text_features_path):
+        fid, _ = os.path.splitext(file_feature)
+        text_features_dict[int(fid)] = np.load(
+            os.path.join(text_features_path, file_feature))
+    return video_features_dict, text_features_dict
 
 
 def parse_tgif_annot(file_path: str, task_type: str = "oe", delimiter: str = "\t",

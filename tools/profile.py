@@ -26,7 +26,9 @@ def main(argv=None):
     p.add_argument("--train", action="store_true",
                    help="profile the full train step instead of forward")
     p.add_argument("--trace-dir", default=None,
-                   help="write a jax.profiler trace here")
+                   help="write a jax.profiler trace here (NOTE: may hang on "
+                        "remote-tunneled TPU backends; use on directly "
+                        "attached chips)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--latency", action="store_true",
                    help="measure p50/p90 per-question latency (batch 1)")
