@@ -28,7 +28,7 @@ def main() -> None:
     cfg = E.E2EConfig(num_classes=1000, temporal_scale=(3,), text_seq_len=32)
     params = E.e2e_init_jit(jax.random.PRNGKey(0), cfg)
 
-    batch = 16  # 16 questions x 3 clips = 48 clips/step
+    batch = 32  # 32 questions x 3 clips = 96 clips/step
     clips = jax.random.uniform(jax.random.PRNGKey(1),
                                (batch, 3, 5, 224, 224, 3), jnp.float32)
     ids = jnp.ones((batch, 32), jnp.int32)
@@ -55,7 +55,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
-        "unit": "clips/s (Swin-B + LRCE fwd, bf16, batch 16 x 3 clips)",
+        "unit": "clips/s (Swin-B + LRCE fwd, bf16, batch 32 x 3 clips)",
         "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
     }))
 

@@ -118,13 +118,15 @@ def decoder_stack(layers: dict, tgt: jnp.ndarray, memory: jnp.ndarray, *,
 # ---------------------------------------------------------------------------
 
 def fusion_transformer_init(rng, feature_dim: int = 768, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(rng, NUM_LAYERS + 2)
-    layers = [decoder_layer_init(ks[i], feature_dim, dtype=dtype)
-              for i in range(NUM_LAYERS)]
+    k_layer, k_tok = jax.random.split(rng)
+    # torch TransformerDecoder deep-copies ONE layer num_layers times
+    # (reference fusionv3.py:17), so every layer starts with identical
+    # weights — replicated here for from-scratch training parity.
+    layer = decoder_layer_init(k_layer, feature_dim, dtype=dtype)
     return {
-        "layers": _stack_layers(layers),
+        "layers": _stack_layers([layer] * NUM_LAYERS),
         "fusion_layer_norm": layer_norm_init(feature_dim, dtype),
-        "summarization_token": xavier_normal(ks[-1], (1, 1, feature_dim), dtype),
+        "summarization_token": xavier_normal(k_tok, (1, 1, feature_dim), dtype),
     }
 
 
