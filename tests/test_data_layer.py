@@ -114,6 +114,30 @@ def test_tokenizer_pair_matches_hf(vocab_file):
     assert types.tolist() == ref["token_type_ids"]
 
 
+def test_tokenizer_fuzz_matches_hf(vocab_file):
+    """Randomized parity sweep vs HF BertTokenizerFast: random words from the
+    vocab + noise tokens + punctuation + accents + casing."""
+    import random
+
+    from transformers import BertTokenizerFast
+
+    hf = BertTokenizerFast(vocab_file=vocab_file, do_lower_case=True)
+    mine = BertWordPieceTokenizer(vocab_file)
+
+    rng = random.Random(0)
+    words = ["what", "is", "the", "man", "DOG", "Guitar", "guitár", "runs",
+             "zzz", "play", "playing", "guit", "ar", "a", "s", "gu",
+             "résumé", "?!", ",,", "'s", "x" * 120, "", " "]
+    for _ in range(150):
+        text = " ".join(rng.choices(words, k=rng.randint(1, 8)))
+        ref = hf(text, add_special_tokens=True, padding="max_length",
+                 max_length=24)
+        ids, mask, types = mine.encode(text, max_length=24)
+        assert ids.tolist() == ref["input_ids"], repr(text)
+        assert mask.tolist() == ref["attention_mask"], repr(text)
+        assert types.tolist() == ref["token_type_ids"], repr(text)
+
+
 def test_tokenizer_accents_and_punct(vocab_file):
     mine = BertWordPieceTokenizer(vocab_file)
     assert mine.tokenize("guitár!") == ["guitar", "!"]

@@ -1,0 +1,38 @@
+"""End-to-end training determinism: identical seeds -> identical loss
+trajectories (deterministic PRNG threading through dropout/drop-path,
+SURVEY §5.2's guidance for what the reference lacks)."""
+
+import numpy as np
+
+import jax
+
+from lrce_tpu.models import e2e as E
+from lrce_tpu.train.agent import AgentOE
+
+from test_agent_training import make_args, synth_batch, tiny_cfg
+
+
+def run_losses(seed):
+    cfg = tiny_cfg("oe")._replace(drop_out_rate=0.1)
+    params = E.e2e_init(jax.random.PRNGKey(42), cfg)
+    agent = AgentOE(cfg, params, make_args(drop_out_rate=0.1), seed=seed,
+                    log_enabled=False)
+    agent.lrs = [1e-4] * 3
+    losses = []
+    for i in range(3):
+        batch = synth_batch(cfg, seed=i)
+        loss, _, _ = agent.step(*batch, is_train=True)
+        losses.append(loss)
+    return losses
+
+
+def test_same_seed_same_trajectory():
+    a = run_losses(seed=7)
+    b = run_losses(seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_different_seed_different_dropout():
+    a = run_losses(seed=7)
+    c = run_losses(seed=8)
+    assert a != c  # dropout rng differs
