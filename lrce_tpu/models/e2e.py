@@ -199,6 +199,9 @@ def config_from_args(args) -> E2EConfig:
             text_seq_len=args.text_seq_len, task_type=args.task_type,
             bert=bert, swin=swin)
 
+    # LRCE_TPU_SWIN_REMAT=1 rematerializes Swin block pairs under autodiff:
+    # unlocks per-chip train batches >8 on 16G HBM (see PERF.md).
+    swin = S.SWIN_BASE._replace(remat=bool(os.environ.get("LRCE_TPU_SWIN_REMAT")))
     return E2EConfig(
         feature_dim=args.feature_dim,
         num_classes=args.num_classes,
@@ -209,4 +212,5 @@ def config_from_args(args) -> E2EConfig:
         temporal_scale=tuple(args.temporal_scale),
         text_seq_len=args.text_seq_len,
         task_type=args.task_type,
+        swin=swin,
     )
