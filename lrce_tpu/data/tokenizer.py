@@ -205,7 +205,6 @@ class BertWordPieceTokenizer:
 
 
 _VOCAB_SEARCH_PATHS = [
-    os.environ.get("LRCE_TPU_BERT_VOCAB", ""),
     "./pretrained_models/bert-base-uncased-vocab.txt",
     "./pretrained_models/vocab.txt",
     os.path.expanduser("~/.cache/huggingface/bert-base-uncased/vocab.txt"),
@@ -213,7 +212,8 @@ _VOCAB_SEARCH_PATHS = [
 
 
 def find_bert_vocab() -> Optional[str]:
-    for p in _VOCAB_SEARCH_PATHS:
+    # env var read at call time (not import time) so late configuration wins
+    for p in [os.environ.get("LRCE_TPU_BERT_VOCAB", "")] + _VOCAB_SEARCH_PATHS:
         if p and os.path.exists(p):
             return p
     return None
