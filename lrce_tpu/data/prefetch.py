@@ -9,7 +9,7 @@ JAX input-pipeline pattern replacing torch's pin_memory+non_blocking copies
 from __future__ import annotations
 
 import collections
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 import numpy as np

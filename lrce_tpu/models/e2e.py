@@ -18,7 +18,7 @@ labeling (agent_base.py:27-44) and checkpoint conversion stay 1:1.
 
 from __future__ import annotations
 
-from typing import Iterable, List, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,14 +27,14 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from lrce_tpu.ops.nn import dense, dense_init, dropout, gelu, layer_norm, layer_norm_init
+from lrce_tpu.ops.nn import dense, dense_init, gelu, layer_norm, layer_norm_init
 
 LN_EPS = 1e-5
 

@@ -11,7 +11,7 @@ path (training, eval, checkpoint ingest) works either way.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 

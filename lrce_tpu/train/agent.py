@@ -28,7 +28,7 @@ import json
 import os
 import time
 from collections import deque
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import numpy as np
 
