@@ -44,10 +44,8 @@ def test_decoder_layer_matches_torch():
     with torch.no_grad():
         ref = layer(tgt, mem).numpy()
 
-    got = F.decoder_layer(
-        jnp.tree_util.tree_map(jnp.asarray, params) if hasattr(jnp, "tree_util")
-        else params,
-        jnp.asarray(tgt.numpy()), jnp.asarray(mem.numpy()))
+    got = F.decoder_layer(params, jnp.asarray(tgt.numpy()),
+                          jnp.asarray(mem.numpy()))
     np.testing.assert_allclose(np.asarray(got), ref, **TOL)
 
 
