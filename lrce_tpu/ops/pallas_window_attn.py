@@ -40,12 +40,14 @@ except Exception:  # pragma: no cover
 
 def _kernel(x_ref, ln_scale_ref, ln_bias_ref, qkv_w_ref, qkv_b_ref,
             proj_w_ref, proj_b_ref, bias_ref, mask_ref, out_ref, *,
-            window: Tuple[int, int, int], num_heads: int, ln_eps: float):
+            window: Tuple[int, int, int], num_heads: int, ln_eps: float,
+            kh_rows: int):
     wd, wh, ww = window
     n = wd * wh * ww
-    x = x_ref[0]  # (wd, wh, Wp, C)
+    x = x_ref[0]  # (wd, kh_rows*wh, Wp, C) — kh_rows h-rows of windows
     _, _, wp, c = x.shape
     nw = wp // ww
+    nwin = kh_rows * nw  # windows handled by this program
     hd = c // num_heads
     dt = x.dtype
 
@@ -57,28 +59,28 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, qkv_w_ref, qkv_b_ref,
     y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
     y = y.astype(dt)
 
-    # window partition: (wd, wh, nw, ww, C) -> (nw, N, C)
-    y = y.reshape(wd, wh, nw, ww, c)
-    y = y.transpose(2, 0, 1, 3, 4).reshape(nw, n, c)
+    # window partition: (wd, KH, wh, nw, ww, C) -> (KH*nw, N, C)
+    y = y.reshape(wd, kh_rows, wh, nw, ww, c)
+    y = y.transpose(1, 3, 0, 2, 4, 5).reshape(nwin, n, c)
 
-    # packed qkv: (nw, N, 3C). Mosaic cannot split the lane (channel) dim in
+    # packed qkv: (nwin, N, 3C). Mosaic cannot split the lane (channel) dim in
     # registers, so heads are processed by static lane slices instead of a
     # (H, hd) reshape; the head loop unrolls at trace time.
-    qkv = jnp.dot(y.reshape(nw * n, c), qkv_w_ref[:].astype(dt),
+    qkv = jnp.dot(y.reshape(nwin * n, c), qkv_w_ref[:].astype(dt),
                   preferred_element_type=jnp.float32)
     qkv = (qkv + qkv_b_ref[:].astype(jnp.float32)).astype(dt)
-    qkv = qkv.reshape(nw, n, 3 * c)
+    qkv = qkv.reshape(nwin, n, 3 * c)
 
     scale = 1.0 / math.sqrt(hd)
-    mask = mask_ref[0, 0]  # (nw, N, N)
+    mask = mask_ref[0].reshape(nwin, n, n)  # (KH, nw, N, N) flattened
     ctx_heads = []
     for h in range(num_heads):
-        qh = qkv[:, :, h * hd:(h + 1) * hd]                # (nw, N, hd)
+        qh = qkv[:, :, h * hd:(h + 1) * hd]                # (nwin, N, hd)
         kh = qkv[:, :, c + h * hd:c + (h + 1) * hd]
         vh = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
         logits = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale    # (nw, N, N)
+            preferred_element_type=jnp.float32) * scale    # (nwin, N, N)
         logits = logits + bias_ref[h][None] + mask
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
@@ -86,15 +88,15 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, qkv_w_ref, qkv_b_ref,
         ctx_heads.append(jax.lax.dot_general(
             w, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dt))
-    ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(nw * n, c)
+    ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(nwin * n, c)
 
     out = jnp.dot(ctx, proj_w_ref[:].astype(dt),
                   preferred_element_type=jnp.float32)
     out = (out + proj_b_ref[:].astype(jnp.float32)).astype(dt)
 
-    # window reverse: (nw, N, C) -> (wd, wh, Wp, C)
-    out = out.reshape(nw, wd, wh, ww, c).transpose(1, 2, 0, 3, 4)
-    out_ref[0] = out.reshape(wd, wh, wp, c)
+    # window reverse: (KH*nw, N, C) -> (wd, KH*wh, Wp, C)
+    out = out.reshape(kh_rows, nw, wd, wh, ww, c).transpose(2, 0, 3, 1, 4, 5)
+    out_ref[0] = out.reshape(wd, kh_rows * wh, wp, c)
 
 
 def _xla_equivalent(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
@@ -131,23 +133,38 @@ def _xla_equivalent(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
     return window_reverse(out, window, b, d, h, w_)
 
 
+def _pick_kh_rows(c: int, nh: int) -> int:
+    """How many h-rows of windows one program handles. Larger blocks give
+    bigger matmuls and fewer launches but grow the VMEM footprint (logits
+    are f32 with N padded to lane multiples); measured on v5e, kh=2 helps at
+    C=512 (1.37 vs 1.56 ms/apply) and VMEM-OOMs at C=128."""
+    if c >= 512 and nh % 2 == 0:
+        return 2
+    return 1
+
+
 def _fused_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
-                    rel_bias, mask, *, window, num_heads, ln_eps, interpret):
+                    rel_bias, mask, *, window, num_heads, ln_eps, interpret,
+                    kh_rows=None):
     b, d, h, w_, c = x.shape
     wd, wh, ww = window
     nd, nh, nw = d // wd, h // wh, w_ // ww
     n = wd * wh * ww
+    kh = kh_rows if kh_rows is not None else _pick_kh_rows(c, nh)
+    if nh % kh != 0:
+        kh = 1
 
-    grid = (b, nd, nh)
+    grid = (b, nd, nh // kh)
     kernel = functools.partial(_kernel, window=window, num_heads=num_heads,
-                               ln_eps=ln_eps)
+                               ln_eps=ln_eps, kh_rows=kh)
     flops = (2 * b * nd * nh * nw * n * c * 4 * c          # qkv + proj
              + 2 * b * nd * nh * nw * num_heads * n * n * (c // num_heads) * 2)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, wd, wh, w_, c), lambda bi, di, hi: (bi, di, hi, 0, 0),
+            pl.BlockSpec((1, wd, kh * wh, w_, c),
+                         lambda bi, di, hi: (bi, di, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_scale
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_bias
@@ -156,10 +173,11 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
             pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_b
             pl.BlockSpec(memory_space=pltpu.VMEM),  # rel_bias (nH, N, N)
-            pl.BlockSpec((1, 1, nw, n, n), lambda bi, di, hi: (di, hi, 0, 0, 0),
+            pl.BlockSpec((1, kh, nw, n, n),
+                         lambda bi, di, hi: (di, hi, 0, 0, 0),
                          memory_space=pltpu.VMEM),  # mask
         ],
-        out_specs=pl.BlockSpec((1, wd, wh, w_, c),
+        out_specs=pl.BlockSpec((1, wd, kh * wh, w_, c),
                                lambda bi, di, hi: (bi, di, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),

@@ -49,6 +49,17 @@ def test_kernel_matches_xla_equivalent(shifted):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_kernel_kh2_blocking_matches_xla():
+    """Multi-h-row blocking (kh_rows=2) must be numerically identical."""
+    inputs, window, heads = setup_case(h=12, shifted=True, seed=2)
+    got = PW._fused_fwd_impl(*inputs, window=window, num_heads=heads,
+                             ln_eps=1e-5, interpret=True, kh_rows=2)
+    ref = PW._xla_equivalent(*inputs, window=window, num_heads=heads,
+                             ln_eps=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_kernel_odd_channel_heads():
     # c=48, 3 heads -> hd=16 (sub-lane slicing path)
     inputs, window, heads = setup_case(c=48, heads=3, seed=1)
