@@ -119,6 +119,26 @@ def test_train_cli_end_to_end(tgif_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_ddp_cli_end_to_end(tgif_dir, tmp_path):
+    """The legacy train_ddp.py entry (parser.py defaults, validates on the
+    test split, reference train_ddp.py surface)."""
+    import parser as legacy_parser
+    import train_ddp as train_ddp_cli
+
+    args = legacy_parser.parse_arg_train(
+        ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
+         "--log-dir", str(tmp_path / "runs"), "--batch-size", "2",
+         "--epoch", "1", "--num-workers", "1", "--lr", "1e-4",
+         "--use-cosine-scheduler", "--reg-strength", "0",
+         "--temporal-scale", "1", "2"])
+    assert args.temporal_scale == [1, 2]
+    train_ddp_cli.main(args)
+    import os
+
+    assert "best.pt" in os.listdir(args.ckpt_dir)
+
+
+@pytest.mark.slow
 def test_eval_cli_with_reference_torch_checkpoint(tgif_dir, tmp_path):
     """eval.py --model-path <reference torch .pt> must ingest a
     reference-named torch checkpoint through the converters and complete —

@@ -42,6 +42,21 @@ def test_extract_frames_tool(gif_dir, tmp_path):
     assert bank[idx].shape == (2, 5, 16, 16, 3)
 
 
+def test_flops_tool_runs_and_shows_linear_vs_quadratic():
+    from tools.flops import main
+
+    rows = main(["--steps", "2", "--feature-dim", "48"])
+    lrce = rows["lrce"]
+    joint = rows["self_attention"]
+    assert len(lrce) == 2
+    # LRCE fusion flops grow ~linearly with token length; the joint
+    # self-attention encoder grows superlinearly (the reference's claim).
+    lrce_ratio = lrce[1]["mflops"] / lrce[0]["mflops"]
+    joint_ratio = joint[1]["mflops"] / joint[0]["mflops"]
+    assert lrce_ratio < 2.5
+    assert joint_ratio > lrce_ratio
+
+
 def test_inflate_swin2d_shapes():
     from lrce_tpu.utils.torch_io import inflate_swin2d
 
