@@ -100,15 +100,16 @@ def test_train_cli_mc_and_count(tgif_mc_count_dir, tmp_path, dataset, extra):
 
 
 @pytest.mark.slow
-def test_train_cli_end_to_end(tgif_dir, tmp_path):
+def test_train_then_eval_cli_end_to_end(tgif_dir, tmp_path):
+    """train.py -> best.pt -> eval.py in one pass (shares the trained model
+    so the suite doesn't train twice)."""
+    import eval as eval_cli
     import train as train_cli
+    from lrce_tpu import config as cfg_mod
 
     args = make_train_args(tgif_dir, tmp_path)
     train_cli.main(args)
 
-    # run dir with config.json + checkpoints written
-    run_dirs = os.listdir(args.log_dir.rsplit("/", 1)[0]) \
-        if "/" in args.log_dir else []
     assert os.path.exists(os.path.join(args.log_dir, "config.json"))
     weights = os.listdir(args.ckpt_dir)
     assert "best.pt" in weights
@@ -116,6 +117,12 @@ def test_train_cli_end_to_end(tgif_dir, tmp_path):
     with open(os.path.join(args.log_dir, "config.json")) as f:
         cfg = json.load(f)
     assert cfg["dataset"] == "tgif-frameqa"
+
+    eval_args = cfg_mod.parse_arg_eval(
+        ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
+         "--model-path", os.path.join(args.ckpt_dir, "best.pt"),
+         "--batch-size", "2", "--num-workers", "1"])
+    eval_cli.main(eval_args)  # must complete and log accuracy without error
 
 
 @pytest.mark.slow
@@ -180,19 +187,3 @@ def test_eval_cli_with_reference_torch_checkpoint(tgif_dir, tmp_path):
          "--model-path", str(ckpt_path), "--batch-size", "2",
          "--num-workers", "1"])
     eval_cli.main(eval_args)  # ingests the torch ckpt and evaluates
-
-
-@pytest.mark.slow
-def test_eval_cli_with_trained_checkpoint(tgif_dir, tmp_path):
-    import eval as eval_cli
-    import train as train_cli
-    from lrce_tpu import config as cfg_mod
-
-    args = make_train_args(tgif_dir, tmp_path)
-    train_cli.main(args)
-    best = os.path.join(args.ckpt_dir, "best.pt")
-
-    eval_args = cfg_mod.parse_arg_eval(
-        ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
-         "--model-path", best, "--batch-size", "2", "--num-workers", "1"])
-    eval_cli.main(eval_args)  # must complete and log accuracy without error
