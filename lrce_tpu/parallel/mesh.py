@@ -55,12 +55,51 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return tuple(jax.device_put(np.asarray(b), sh) for b in batch)
 
 
+_MULTIHOST_INITIALIZED = False
+
+
 def initialize_multihost() -> None:
     """Multi-host (DCN) rendezvous — call once at startup on multi-host pods.
-    Single-host runs need nothing."""
-    if jax.process_count() > 1:
-        return  # already initialized
+
+    Single-host runs need nothing and are left untouched. Multi-host intent
+    is decided purely from the environment BEFORE any backend-initializing
+    JAX API is called (`jax.process_count()` would initialize the local
+    backend and make `jax.distributed.initialize()` impossible — the
+    round-1 bug). Triggers:
+
+    - ``JAX_COORDINATOR_ADDRESS`` (+ optional ``JAX_NUM_PROCESSES`` /
+      ``JAX_PROCESS_ID``): explicit rendezvous, mirrors the reference's
+      MASTER_ADDR/RANK/WORLD_SIZE contract (reference train.py:10-13).
+    - ``LRCE_TPU_MULTIHOST=1``: let JAX auto-detect the cluster (TPU pod
+      metadata / Slurm / GKE).
+
+    Failures are fatal: silently degrading a pod run to N independent
+    single-host runs is worse than crashing.
+    """
+    global _MULTIHOST_INITIALIZED
+    if _MULTIHOST_INITIALIZED:
+        return
+    import os
+
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    auto = os.environ.get("LRCE_TPU_MULTIHOST") == "1"
+    if not coord and not auto:
+        return  # single-host / local run: do not touch the backend
+    kwargs = {}
+    if coord:
+        kwargs["coordinator_address"] = coord
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if nproc is not None:
+            kwargs["num_processes"] = int(nproc)
+        if pid is not None:
+            kwargs["process_id"] = int(pid)
     try:
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-host / local run
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:
+        raise RuntimeError(
+            "Multi-host rendezvous was requested via the environment "
+            f"({'JAX_COORDINATOR_ADDRESS' if coord else 'LRCE_TPU_MULTIHOST'})"
+            f" but jax.distributed.initialize({kwargs}) failed. Refusing to "
+            "silently fall back to single-host.") from e
+    _MULTIHOST_INITIALIZED = True

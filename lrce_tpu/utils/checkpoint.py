@@ -46,15 +46,34 @@ def load_checkpoint(path: str) -> dict:
     assert os.path.exists(path), path
     with open(path, "rb") as f:
         magic = f.read(2)
-    if magic != b"PK":
+    from lrce_tpu.utils import torch_io as tio
+
+    if magic[:1] == b"\x80":
+        # Pickle protocol magic: either a native checkpoint or a legacy
+        # (non-zip) torch pickle. Native ones plain-unpickle; legacy torch
+        # ones carry persistent ids that plain pickle rejects — so on
+        # failure try torch before declaring corruption, and if BOTH fail
+        # report corruption of the native format rather than a misleading
+        # torch conversion error.
+        native_err: Exception
         try:
             with open(path, "rb") as f:
                 ckpt = pickle.load(f)
             if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
                 return ckpt
+            native_err = RuntimeError(
+                f"unpickled to {type(ckpt).__name__} without a "
+                "'model_state_dict' key")
+        except Exception as e:
+            native_err = e
+        try:
+            sd = tio.load_torch_state_dict(path)
         except Exception:
-            pass
-    from lrce_tpu.utils import torch_io as tio
+            raise RuntimeError(
+                f"{path} has pickle magic but is neither a loadable native "
+                "lrce_tpu checkpoint nor a legacy torch pickle — the file "
+                "is likely truncated or corrupt.") from native_err
+        return {"model_state_dict": tio.convert_e2e(sd)}
 
     sd = tio.load_torch_state_dict(path)
     return {"model_state_dict": tio.convert_e2e(sd)}

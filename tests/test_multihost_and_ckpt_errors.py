@@ -1,0 +1,103 @@
+"""Unit coverage for the round-2 robustness fixes:
+
+- initialize_multihost must decide intent from env vars WITHOUT touching
+  any backend-initializing JAX API, must propagate rendezvous failures
+  loudly, and must leave single-host runs untouched (ADVICE round 1).
+- load_checkpoint must report a corrupt native pickle as corruption, not
+  fall through to a misleading torch conversion error (ADVICE round 1).
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from lrce_tpu.parallel import mesh as M
+from lrce_tpu.utils import checkpoint as C
+
+
+@pytest.fixture(autouse=True)
+def _reset_multihost_flag():
+    M._MULTIHOST_INITIALIZED = False
+    yield
+    M._MULTIHOST_INITIALIZED = False
+
+
+def test_multihost_noop_without_env(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("LRCE_TPU_MULTIHOST", raising=False)
+
+    def boom(**kwargs):
+        raise AssertionError("initialize() must not be called single-host")
+
+    monkeypatch.setattr(M.jax.distributed, "initialize", boom)
+    M.initialize_multihost()  # no env => no backend interaction
+    assert M._MULTIHOST_INITIALIZED is False
+
+
+def test_multihost_explicit_env_passes_rendezvous_args(monkeypatch):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    calls = []
+    monkeypatch.setattr(M.jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    M.initialize_multihost()
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}]
+    assert M._MULTIHOST_INITIALIZED is True
+    # idempotent: second call must not re-rendezvous
+    M.initialize_multihost()
+    assert len(calls) == 1
+
+
+def test_multihost_failure_is_loud(monkeypatch):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+
+    def boom(**kwargs):
+        raise ConnectionError("coordinator unreachable")
+
+    monkeypatch.setattr(M.jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="Refusing to silently fall back"):
+        M.initialize_multihost()
+
+
+def test_corrupt_native_checkpoint_reports_corruption(tmp_path):
+    path = str(tmp_path / "ckpt.pt")
+    good = {"model_state_dict": {"w": np.zeros((2, 2), np.float32)}}
+    blob = pickle.dumps(good, protocol=4)
+    with open(path, "wb") as f:
+        f.write(blob[: len(blob) // 2])  # truncate => corrupt
+    with pytest.raises(RuntimeError, match="truncated or corrupt"):
+        C.load_checkpoint(path)
+
+
+def test_pickle_without_model_state_dict_reports_clearly(tmp_path):
+    path = str(tmp_path / "weird.pt")
+    with open(path, "wb") as f:
+        pickle.dump([1, 2, 3], f, protocol=4)
+    with pytest.raises(RuntimeError, match="truncated or corrupt"):
+        C.load_checkpoint(path)
+
+
+def test_native_checkpoint_roundtrip_still_works(tmp_path):
+    path = str(tmp_path / "ok.pt")
+    C.save_checkpoint(path, {"w": np.arange(4, dtype=np.float32)})
+    out = C.load_checkpoint(path)
+    np.testing.assert_array_equal(out["model_state_dict"]["w"],
+                                  np.arange(4, dtype=np.float32))
+
+
+def test_legacy_torch_pickle_still_ingested(tmp_path, monkeypatch):
+    """A legacy (non-zip) torch pickle has pickle magic too; it must route
+    to torch ingestion, not be reported as a corrupt native checkpoint."""
+    torch = pytest.importorskip("torch")
+    path = str(tmp_path / "legacy.pt")
+    sd = {"dummy.weight": torch.zeros(2, 2)}
+    torch.save(sd, path, _use_new_zipfile_serialization=False)
+    with open(path, "rb") as f:
+        assert f.read(1) == b"\x80"  # really exercises the legacy branch
+    from lrce_tpu.utils import torch_io as tio
+    monkeypatch.setattr(tio, "convert_e2e", lambda d: dict(d))
+    out = C.load_checkpoint(path)
+    assert "dummy.weight" in out["model_state_dict"]
