@@ -17,8 +17,10 @@ import jax
 import jax.numpy as jnp
 
 # Estimated reference throughput (clips/sec per A100, torch AMP fp16,
-# Swin-B forward dominating): ~8.3 clips per 5-frame-clip-batch step at
-# bs 10 x 3 clips => ~90 clips/s. Fixed denominator for vs_baseline.
+# Swin-B forward dominating). Derived in BASELINE.md ("Derivation of the
+# A100 denominator"): measured 97.4 GFLOPs/clip x A100 312 TFLOP/s peak at
+# the 2.5-4% MFU an eager small-batch NCDHW torch pipeline sustains
+# => 80-128 clips/s; fixed at 90 across rounds so trends are comparable.
 A100_BASELINE_CLIPS_PER_SEC = 90.0
 
 

@@ -75,6 +75,20 @@ def _build_train_parser() -> argparse.ArgumentParser:
                    default=0.001, type=float)
     p.add_argument("--num-workers", help="Number of workers for dataloader",
                    default=2, type=int)
+    p.add_argument("--cache-items",
+                   help="LRU-cache up to N decoded clip tensors per dataset "
+                        "(~4.5 MB each at 224x224x6 clips); repeat questions "
+                        "on the same video then skip decode entirely "
+                        "(TPU-side addition; the reference re-decodes every "
+                        "sample every epoch)",
+                   default=0, type=int)
+    p.add_argument("--save-full-state",
+                   help="Checkpoint the optimizer + scheduler state alongside "
+                        "the model and restore them on --model-path resume "
+                        "(TPU-side addition; the reference defined this path "
+                        "but never saved more than the model, "
+                        "agent_base.py:208-217)",
+                   action="store_true")
     p.add_argument("--use-hinge-loss",
                    help="Use hinge loss instead of cross entropy (for mc task)",
                    action="store_true")
@@ -136,6 +150,10 @@ def parse_arg_eval(argv: Optional[Sequence[str]] = None,
                    nargs="+", default=[3], type=int)
     p.add_argument("--num-workers", help="Number of workers for dataloader",
                    default=2, type=int)
+    p.add_argument("--cache-items",
+                   help="LRU-cache up to N decoded clip tensors per dataset "
+                        "(~4.5 MB each at 224x224x6 clips)",
+                   default=0, type=int)
     p.add_argument("--use-hinge-loss",
                    help="Use hinge loss instead of cross entropy (for mc task)",
                    action="store_true")

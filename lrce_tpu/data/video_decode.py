@@ -38,6 +38,25 @@ def _pil_resize(frame_rgb: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return np.asarray(img, np.uint8)
 
 
+#: Decodable frame counts are immutable for the lifetime of a run, but the
+#: reference re-counts by decoding the full stream on EVERY sample fetch
+#: (e2e_dataset.py:81-84). Caching the count halves decode work for every
+#: revisit of a video (datasets average ~10-25 questions per video), at a
+#: few bytes per entry.
+_FRAME_COUNT_CACHE: dict = {}
+_FRAME_COUNT_LOCK = threading.Lock()
+
+
+def count_frames_cached(path: str) -> int:
+    with _FRAME_COUNT_LOCK:
+        n = _FRAME_COUNT_CACHE.get(path)
+    if n is None:
+        n = count_frames(path)
+        with _FRAME_COUNT_LOCK:
+            _FRAME_COUNT_CACHE[path] = n
+    return n
+
+
 def count_frames(path: str, trust_metadata: bool = False) -> int:
     """Decodable frame count.
 
@@ -206,7 +225,7 @@ def get_video_clips(path: str, frames_per_clip: int = 5,
         clips = _native_gif_clips(path, frames_per_clip, temporal_scale,
                                   frame_size)
     if clips is None:
-        n = count_frames(path)
+        n = count_frames_cached(path)
         if n < frames_per_clip:
             raise ValueError(
                 f"Error in video {path}, too many frames_per_clip, set lower value")

@@ -284,12 +284,14 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
                window: Tuple[int, int, int], shift: Tuple[int, int, int],
                rel_index: jnp.ndarray, mask: Optional[jnp.ndarray],
                dp_rate, deterministic: bool, rng: Optional[jax.Array],
-               use_pallas: bool = False) -> jnp.ndarray:
+               use_pallas=False) -> jnp.ndarray:
     """One Swin block on (B, D, H, W, C): W-MSA / SW-MSA + MLP, post-pad to
     window multiples, optional cyclic shift (reference video_swin_ori.py:248-306).
 
-    With use_pallas, LN1 + partition + attention + proj + reverse run as one
-    fused VMEM-resident kernel (ops/pallas_window_attn.py); roll/pad/residual
+    use_pallas: False for the XLA path, "full" for the fused whole-C kernel,
+    or "hsplit" for the head-group-split kernel (C > 512). With either fused
+    kernel, LN1 + partition + attention + proj + reverse run as one
+    VMEM-resident program (ops/pallas_window_attn.py); roll/pad/residual
     stay in XLA.
     """
     b, d, h, w, c = x.shape
@@ -321,10 +323,13 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
             mask5 = jnp.zeros((nd, nh, nw, n, n), jnp.float32)
         rel_bias = p["attn"]["rel_table"].astype(jnp.float32)[rel_index]
         rel_bias = rel_bias.transpose(2, 0, 1)  # (nH, N, N)
-        from lrce_tpu.ops.pallas_window_attn import fused_window_attention
+        from lrce_tpu.ops.pallas_window_attn import (
+            fused_window_attention, fused_window_attention_hsplit)
 
+        attn_fn = (fused_window_attention_hsplit if use_pallas == "hsplit"
+                   else fused_window_attention)
         dt = y.dtype
-        y = fused_window_attention(
+        y = attn_fn(
             y, p["norm1"]["scale"], p["norm1"]["bias"],
             p["attn"]["qkv"]["w"].astype(dt), p["attn"]["qkv"]["b"],
             p["attn"]["proj"]["w"].astype(dt), p["attn"]["proj"]["b"],
@@ -379,9 +384,11 @@ def patch_merging(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return dense(p["reduction"], x)
 
 
-def _pallas_supported(x_shape, window, max_dim: int = 512) -> bool:
-    """Use the fused kernel when on TPU, dims are window-aligned (no pad), and
-    the channel dim keeps the weights comfortably within VMEM."""
+def _pallas_supported(x_shape, window, max_dim: int = 512):
+    """Pick the fused-attention kernel for this stage: False (XLA path),
+    "full" (whole-C kernel, C <= max_dim), or "hsplit" (head-group-split
+    kernel for wider stages whose weights exceed one program's VMEM).
+    Requires TPU, window-aligned dims (no pad), and lane-aligned C."""
     import os
 
     if os.environ.get("LRCE_TPU_DISABLE_PALLAS"):
@@ -393,8 +400,14 @@ def _pallas_supported(x_shape, window, max_dim: int = 512) -> bool:
         return False
     b, d, h, w, c = x_shape
     # c must be lane-aligned (128) for the kernel's in-register reshapes
-    return (d % window[0] == 0 and h % window[1] == 0 and w % window[2] == 0
-            and c % 128 == 0 and c <= max_dim)
+    if not (d % window[0] == 0 and h % window[1] == 0 and w % window[2] == 0
+            and c % 128 == 0):
+        return False
+    if c <= max_dim:
+        return "full"
+    if os.environ.get("LRCE_TPU_DISABLE_HSPLIT"):
+        return False
+    return "hsplit"
 
 
 def swin_stage(stage_params: dict, x: jnp.ndarray, *, depth: int,

@@ -28,7 +28,7 @@ import json
 import os
 import time
 from collections import deque
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 
@@ -119,6 +119,8 @@ class AgentBase:
 
         self.last_loss = None
         self.last_metric_val = None
+        self.last_train_loss = None
+        self.last_train_metric = None
         self.counter = 0
         self.best_epoch = None
         self.best_metric_val = None
@@ -267,6 +269,8 @@ class AgentBase:
             self.write_summary("Validation/Loss", avg_loss, epoch)
             self.write_summary(f"Validation/{self.metric_name}", avg_metric, epoch)
         else:
+            self.last_train_loss = avg_loss
+            self.last_train_metric = avg_metric
             self.write_summary("Training/Loss", avg_loss, epoch)
             self.write_summary(f"Training/{self.metric_name}", avg_metric, epoch)
 
@@ -291,9 +295,15 @@ class AgentBase:
         self.logger.info(f"Best result was seen in epoch {self.best_epoch}")
 
     def do_sanity_check(self, dl):
+        """Overfit the (truncated) train split, reporting the falling loss
+        (the reference surfaced it live on its tqdm bar, agent_base.py:157-163;
+        TB logging is disabled in sanity mode so we print instead)."""
         for i in range(self.args.epoch):
             self.logger.info(f"Epoch {i + 1}/{self.args.epoch}")
             deque(self.process_data(dl, True, i), maxlen=0)
+            self.logger.info(
+                f"Sanity loss {self.last_train_loss:.5f} "
+                f"{self.metric_name} {self.last_train_metric * 100:.2f}%")
 
     def do_evaluation(self, test_dl):
         deque(self.process_data(test_dl, False, 0), maxlen=0)
@@ -315,7 +325,9 @@ class AgentBase:
         self.logger.info(f"Training config saved to {config_path}")
 
     def save_checkpoint(self, epoch: int, name: str = "",
-                        only_model: bool = True):
+                        only_model: Optional[bool] = None):
+        if only_model is None:
+            only_model = not getattr(self.args, "save_full_state", False)
         if jax.process_index() != 0 or not self.log_enabled:
             return
         if name != "":
@@ -332,7 +344,9 @@ class AgentBase:
             else self.scheduler.state_dict())
         self.logger.info(f"Checkpoint saved to {ckpt_path}")
 
-    def load_checkpoint(self, ckpt_path: str, only_model: bool = True):
+    def load_checkpoint(self, ckpt_path: str, only_model: Optional[bool] = None):
+        if only_model is None:
+            only_model = not getattr(self.args, "save_full_state", False)
         ckpt = C.load_checkpoint(ckpt_path)
         self.params = self._put_params(
             jax.tree_util.tree_map(jnp.asarray, ckpt["model_state_dict"]))

@@ -128,6 +128,53 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(before), float(after), rtol=1e-6)
 
 
+def test_full_state_checkpoint_resume(tmp_path):
+    """--save-full-state must checkpoint optimizer + scheduler state and
+    restore them on resume (TPU-side addition: the reference defined this
+    path but never exercised it, agent_base.py:208-217)."""
+    cfg = tiny_cfg("oe")
+    args = make_args(save_full_state=True, log_dir=str(tmp_path),
+                     debug_mode=False)
+    agent = AgentOE(cfg, E.e2e_init(jax.random.PRNGKey(0), cfg), args,
+                    log_enabled=True)
+    agent.summary_writer = None  # no TB files in tmp test dir
+    batch = synth_batch(cfg)
+    agent.lrs = [1e-3] * 3
+    for _ in range(3):
+        agent.step(*batch, is_train=True)
+    agent.last_loss, agent.last_metric_val = 0.5, 0.25
+    agent.save_checkpoint(1, "best")
+    path = str(tmp_path / "checkpoints" / "best.pt")
+    import os
+
+    if not os.path.exists(path):
+        path = os.path.join(agent.args.ckpt_dir, "best.pt")
+
+    from lrce_tpu.utils import checkpoint as C
+
+    raw = C.load_checkpoint(path)
+    assert "optimizer_state_dict" in raw
+    assert "scheduler_state_dict" in raw
+
+    agent2 = AgentOE(cfg, E.e2e_init(jax.random.PRNGKey(7), cfg), args,
+                     log_enabled=False)
+    agent2.load_checkpoint(path)
+    leaves1 = jax.tree_util.tree_leaves(agent.opt_state)
+    leaves2 = jax.tree_util.tree_leaves(agent2.opt_state)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # without the flag the checkpoint stays model-only (reference behavior)
+    args_ref = make_args(log_dir=str(tmp_path / "ref"), debug_mode=False)
+    agent3 = AgentOE(cfg, agent.params, args_ref, log_enabled=True)
+    agent3.summary_writer = None
+    agent3.last_loss, agent3.last_metric_val = 0.5, 0.25
+    agent3.save_checkpoint(1, "best")
+    raw3 = C.load_checkpoint(os.path.join(agent3.args.ckpt_dir, "best.pt"))
+    assert "optimizer_state_dict" not in raw3
+
+
 def test_count_agent_metrics():
     cfg = tiny_cfg("count", num_classes=1)
     params = E.e2e_init(jax.random.PRNGKey(0), cfg)

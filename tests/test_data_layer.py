@@ -256,3 +256,62 @@ def test_gif_decode_matches_reference_pixels(tgif_fixture):
 
     got = get_video_clips(path, 5, [1, 2], (16, 16))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_frame_count_cache(tgif_fixture, monkeypatch):
+    """count_frames_cached must hit the decoder once per path."""
+    from lrce_tpu.data import video_decode as VD
+
+    calls = {"n": 0}
+    real = VD.count_frames
+
+    def counting(path, trust_metadata=False):
+        calls["n"] += 1
+        return real(path, trust_metadata)
+
+    monkeypatch.setattr(VD, "count_frames", counting)
+    monkeypatch.setattr(VD, "_FRAME_COUNT_CACHE", {})
+    path = str(tgif_fixture / "gifs/g1.gif")
+    n1 = VD.count_frames_cached(path)
+    n2 = VD.count_frames_cached(path)
+    assert n1 == n2 == 12
+    assert calls["n"] == 1
+
+
+def test_clip_cache_skips_decode(tgif_fixture, vocab_file, monkeypatch):
+    """With cache_items > 0, refetching an item must not decode again
+    (the VERDICT round-1 'dead knob' — now wired through the CLI)."""
+    from lrce_tpu.data import video_decode as VD
+    from lrce_tpu.data.datasets import E2ETGIFDataset
+
+    tok = BertWordPieceTokenizer(vocab_file)
+    ds = E2ETGIFDataset(
+        split_annotation=str(tgif_fixture / "annotations/Train_frameqa_question.csv"),
+        full_annotation=str(tgif_fixture / "annotations/Total_frameqa_question.csv"),
+        videos_path=str(tgif_fixture / "gifs"),
+        task_type="oe", temporal_scale=[1, 2], frame_size=(16, 16),
+        max_text_token_len=12, tokenizer=tok, cache_items=4)
+
+    first = ds[1]
+
+    def boom(*a, **k):
+        raise AssertionError("decode called despite warm clip cache")
+
+    monkeypatch.setattr(VD, "decode_sampled_frames", boom)
+    monkeypatch.setattr(VD, "_native_gif_clips", boom)
+    second = ds[1]
+    np.testing.assert_array_equal(first[0], second[0])
+
+
+def test_cache_items_cli_flag(tmp_path):
+    """--cache-items must parse on both CLIs and default to 0."""
+    from lrce_tpu.config import parse_arg_eval, parse_arg_train
+
+    args = parse_arg_train(["--dataset", "tgif-frameqa", "--dataset-dir", "."])
+    assert args.cache_items == 0
+    args = parse_arg_train(["--dataset", "tgif-frameqa", "--dataset-dir", ".",
+                            "--cache-items", "256"])
+    assert args.cache_items == 256
+    args = parse_arg_eval(["--dataset", "tgif-frameqa", "--dataset-dir", ".",
+                           "--model-path", "x", "--cache-items", "16"])
+    assert args.cache_items == 16

@@ -38,7 +38,15 @@ def main(argv=None):
 
     from lrce_tpu.models import e2e as E
 
-    cfg = E.E2EConfig(num_classes=1000, temporal_scale=(3,), text_seq_len=32)
+    import os
+
+    from lrce_tpu.models import swin3d as S
+
+    # honor LRCE_TPU_SWIN_REMAT like the train CLI (e2e.config_from_args)
+    swin = S.SWIN_BASE._replace(
+        remat=bool(os.environ.get("LRCE_TPU_SWIN_REMAT")))
+    cfg = E.E2EConfig(num_classes=1000, temporal_scale=(3,), text_seq_len=32,
+                      swin=swin)
     params = E.e2e_init_jit(jax.random.PRNGKey(0), cfg)
 
     b = args.batch

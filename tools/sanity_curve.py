@@ -1,0 +1,133 @@
+"""Flagship-scale sanity-check training curve on live hardware.
+
+The reference's `--sanity-check` philosophy (reference train.py:124-128):
+truncate the train split to 500 samples and overfit — "you should see a very
+small loss value at the end". This tool runs that recipe at FULL flagship
+scale (Swin-B + BERT-base + LRCE fusion, 224x224, temporal-scale 3) through
+the real train.py code path on a synthetic TGIF-FrameQA dataset, and prints
+the per-epoch loss curve (machine-readable JSON on the last line).
+
+Each question carries a unique marker token and a content answer, so the
+dataset is exactly memorizable; a healthy full train loop must drive the
+loss to ~0. Decoded clips are pinned via --cache-items so epochs >= 2
+measure pure train-step throughput.
+
+Usage: python tools/sanity_curve.py [--samples 500] [--epochs 8]
+       [--batch-size 16] [--lr 3e-4] [--keep-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+BASE_VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+              "what", "is", "happening", "in", "clip", "the", "?"]
+ANSWERS = [f"thing{i}" for i in range(32)]
+
+
+def build_dataset(root, n_videos: int, n_samples: int, frames: int = 12,
+                  size=(128, 128)) -> None:
+    from PIL import Image
+
+    gifs = root / "gifs"
+    gifs.mkdir()
+    rng = np.random.RandomState(0)
+    for v in range(n_videos):
+        ims = [Image.fromarray(
+            rng.randint(0, 255, (size[0], size[1], 3), np.uint8))
+            for _ in range(frames)]
+        ims[0].save(gifs / f"v{v:03d}.gif", save_all=True,
+                    append_images=ims[1:], duration=40, loop=0)
+
+    rows = ["gif_name\tquestion\tanswer\tvid_id"]
+    for s in range(n_samples):
+        v = s % n_videos
+        ans = ANSWERS[rng.randint(len(ANSWERS))]
+        rows.append(f"v{v:03d}\twhat is happening in clip q{s}?\t{ans}\t{v}")
+    ann = root / "annotations"
+    ann.mkdir()
+    for split in ("Train", "Test", "Total"):
+        (ann / f"{split}_frameqa_question.csv").write_text(
+            "\n".join(rows) + "\n")
+
+    vocab = BASE_VOCAB + ANSWERS + [f"q{s}" for s in range(n_samples)]
+    (root / "vocab.txt").write_text("\n".join(vocab) + "\n")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--samples", type=int, default=500)
+    p.add_argument("--videos", type=int, default=50)
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--keep-dir", default=None,
+                   help="build the dataset here and keep it (default: tmp)")
+    args = p.parse_args(argv)
+    if args.samples < 500:
+        # Reference quirk preserved in our datasets: sanity-mode __len__ is
+        # the constant SANITY_CHECK_SIZE=500 (reference e2e_dataset.py:54-58),
+        # so fewer than 500 rows would index out of bounds.
+        p.error("--samples must be >= 500 (sanity mode always draws 500)")
+
+    import os
+    import pathlib
+
+    tmp = (pathlib.Path(args.keep_dir) if args.keep_dir
+           else pathlib.Path(tempfile.mkdtemp(prefix="sanity_")))
+    tmp.mkdir(parents=True, exist_ok=True)
+    build_dataset(tmp, args.videos, args.samples)
+    os.environ["LRCE_TPU_BERT_VOCAB"] = str(tmp / "vocab.txt")
+    os.environ.setdefault("LRCE_TPU_SWIN_REMAT", "1")
+
+    import train as train_cli
+    from lrce_tpu import config as cfg_mod
+
+    argv_train = [
+        "--dataset", "tgif-frameqa", "--dataset-dir", str(tmp),
+        "--log-dir", str(tmp / "runs"), "--batch-size", str(args.batch_size),
+        "--epoch", str(args.epochs), "--num-workers", "4",
+        "--lr", str(args.lr), "--use-cosine-scheduler",
+        "--reg-strength", "0", "--sanity-check",
+        "--cache-items", str(args.samples),
+    ]
+    targs = cfg_mod.parse_arg_train(argv_train)
+
+    # capture the agent's per-epoch sanity lines for the curve; configure
+    # root logging FIRST (a bare addHandler would no-op the library's
+    # basicConfig and leave the root level at WARNING, dropping the INFO
+    # records we want)
+    logging.basicConfig(level=logging.INFO)
+    records = []
+    t0 = time.perf_counter()
+
+    class Capture(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("Sanity loss"):
+                parts = msg.split()
+                records.append({"epoch": len(records) + 1,
+                                "loss": float(parts[2]),
+                                "acc_pct": float(parts[4].rstrip("%")),
+                                "t": round(time.perf_counter() - t0, 1)})
+                print(json.dumps(records[-1]), flush=True)
+
+    logging.getLogger().addHandler(Capture())
+    train_cli.main(targs)
+
+    print(json.dumps({"samples": args.samples, "epochs": args.epochs,
+                      "batch_size": args.batch_size, "lr": args.lr,
+                      "curve": records}))
+
+
+if __name__ == "__main__":
+    main()

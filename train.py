@@ -33,6 +33,7 @@ def build_datasets(train_args, splits=("train", "val")):
         sanity_check=getattr(train_args, "sanity_check", False),
         frames_per_clip=train_args.frame_sample_size,
         temporal_scale=train_args.temporal_scale,
+        cache_items=getattr(train_args, "cache_items", 0),
     )
     datasets = []
     if "tgif" in train_args.dataset:
