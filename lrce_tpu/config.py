@@ -89,6 +89,12 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         "but never saved more than the model, "
                         "agent_base.py:208-217)",
                    action="store_true")
+    p.add_argument("--uint8-transfer",
+                   help="Ship clips to the device as raw uint8 and normalize "
+                        "on-device (4x less host->device bandwidth, "
+                        "byte-exact numerics; TPU-side addition). "
+                        "--no-uint8-transfer restores host-side float32",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use-hinge-loss",
                    help="Use hinge loss instead of cross entropy (for mc task)",
                    action="store_true")
@@ -154,6 +160,11 @@ def parse_arg_eval(argv: Optional[Sequence[str]] = None,
                    help="LRU-cache up to N decoded clip tensors per dataset "
                         "(~4.5 MB each at 224x224x6 clips)",
                    default=0, type=int)
+    p.add_argument("--uint8-transfer",
+                   help="Ship clips to the device as raw uint8 and normalize "
+                        "on-device (byte-exact; --no-uint8-transfer restores "
+                        "host-side float32)",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use-hinge-loss",
                    help="Use hinge loss instead of cross entropy (for mc task)",
                    action="store_true")

@@ -43,6 +43,7 @@ class E2EDatasetBase:
         is_frame_extracted: bool = False,
         tokenizer: Optional[BertWordPieceTokenizer] = None,
         cache_items: int = 0,
+        uint8_clips: bool = False,
     ):
         assert os.path.exists(videos_path), f"Path {videos_path} does not exist"
         assert os.path.exists(label_path), f"Path {label_path} does not exist"
@@ -59,6 +60,9 @@ class E2EDatasetBase:
 
         self.tokenizer = tokenizer if tokenizer is not None else load_default_tokenizer()
         self.cache = ClipCache(cache_items)
+        # ship raw uint8 clips to the device (4x less host->device transfer;
+        # the model normalizes on-device byte-exactly, models/e2e.py)
+        self.uint8_clips = uint8_clips
 
         self._load_label_file()
         self._build_answer_dict()
@@ -94,7 +98,9 @@ class E2EDatasetBase:
     def _get_video_clips(self, video_name: str) -> np.ndarray:
         return get_video_clips(os.path.join(self.videos_path, video_name),
                                self.frames_per_clip, self.temporal_scale,
-                               self.frame_size, self.cache)
+                               self.frame_size, self.cache,
+                               out_dtype=(np.uint8 if self.uint8_clips
+                                          else np.float32))
 
     def _get_extracted_video_clips(self, video_name: str) -> np.ndarray:
         bank = np.load(os.path.join(self.videos_path, f"{video_name}.npy"))

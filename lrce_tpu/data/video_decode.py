@@ -57,14 +57,36 @@ def count_frames_cached(path: str) -> int:
     return n
 
 
+def _native_video() :
+    """The libav*-backed decoder module, or None (missing lib / disabled)."""
+    if os.environ.get("LRCE_TPU_DISABLE_NATIVE"):
+        return None
+    try:
+        from lrce_tpu import native
+        if native.video_available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def count_frames(path: str, trust_metadata: bool = False) -> int:
     """Decodable frame count.
 
     Defaults to a grab() sweep (no color-convert/resize) because container
     metadata often disagrees with the actually-decodable frame count for
     GIFs/AVIs — and the sampling indices must match the reference, which
-    counts by decoding (e2e_dataset.py:81-84).
+    counts by decoding (e2e_dataset.py:81-84). .avi/.mp4 go through the
+    native libav* sweep when available (GIL-free, no per-frame Python).
     """
+    if not trust_metadata and not path.lower().endswith(".gif"):
+        nat = _native_video()
+        if nat is not None:
+            try:
+                n, _, _ = nat.video_probe(path)
+                return n
+            except IOError:
+                pass  # unreadable by libav -> let cv2 try
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -89,7 +111,23 @@ def decode_sampled_frames(path: str, indices: np.ndarray,
     Uses grab() to skip undecoded-for-display frames (decode still advances,
     but color-convert + resize run only on sampled frames).
     Returns (len(unique_indices_expanded), H, W, 3) uint8 in *index order*.
+
+    .avi/.mp4 use the native libav* single-pass decoder when available —
+    byte-exact with the cv2 path (same libavcodec decode underneath), ~5x
+    faster cold (skipped stream analysis + intra-only packet skipping);
+    LRCE_TPU_DISABLE_NATIVE=1 forces cv2.
     """
+    if not path.lower().endswith(".gif"):
+        nat = _native_video()
+        if nat is not None:
+            try:
+                uniq = np.unique(indices).astype(np.int32)
+                frames = nat.video_decode_sampled(path, uniq, frame_size)
+                lut = {int(i): frames[k] for k, i in enumerate(uniq)}
+                return np.stack([lut[int(i)] for i in indices.reshape(-1)],
+                                axis=0)
+            except IOError:
+                pass  # fall through to cv2
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -206,18 +244,23 @@ def _native_gif_clips(path: str, frames_per_clip: int,
 def get_video_clips(path: str, frames_per_clip: int = 5,
                     temporal_scale: Sequence[int] = (1, 2, 3),
                     frame_size: Tuple[int, int] = (224, 224),
-                    cache: Optional[ClipCache] = None) -> np.ndarray:
+                    cache: Optional[ClipCache] = None,
+                    out_dtype=np.float32) -> np.ndarray:
     """Decode + multi-scale sample one video ->
-    (sum(scales), frames_per_clip, H, W, 3) float32 in [0, 1].
+    (sum(scales), frames_per_clip, H, W, 3); float32 in [0, 1] by default.
 
     Same output as the reference `_get_video_clips` (e2e_dataset.py:73-111)
     modulo layout: channels-last instead of CHW. GIFs go through the native
-    C++ decoder when available.
+    C++ decoder when available. out_dtype=np.uint8 skips the host-side
+    [0,1] scaling so raw bytes ship to the device (4x less transfer); the
+    model normalizes on-device byte-exactly (models/e2e.py).
     """
     key = (path, tuple(temporal_scale), frames_per_clip, frame_size)
     if cache is not None:
         hit = cache.get(key)
         if hit is not None:
+            if out_dtype == np.uint8:
+                return hit
             return hit.astype(np.float32) / 255.0
 
     clips = None
@@ -235,4 +278,6 @@ def get_video_clips(path: str, frames_per_clip: int = 5,
 
     if cache is not None:
         cache.put(key, clips)
+    if out_dtype == np.uint8:
+        return clips
     return clips.astype(np.float32) / 255.0

@@ -89,6 +89,12 @@ def extract_video_features(params: dict, video_clips: jnp.ndarray,
     per-clip Python loop, video.py:28-43).
     """
     b, n_clips, t, h, w, c = video_clips.shape
+    if video_clips.dtype == jnp.uint8:
+        # uint8 transfer path (--uint8-transfer): the host ships raw bytes
+        # (4x less host->device bandwidth) and the [0,1] scaling runs here.
+        # f32 division keeps this BYTE-EXACT with the host float path
+        # (uint8 -> f32 is exact; IEEE f32 division matches numpy's).
+        video_clips = video_clips.astype(jnp.float32) / 255.0
     x = video_clips.astype(compute_dtype)
     mean = jnp.asarray(IMAGENET_MEAN, compute_dtype)
     std = jnp.asarray(IMAGENET_STD, compute_dtype)

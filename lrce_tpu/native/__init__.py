@@ -161,3 +161,85 @@ def resize_bilinear(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 
 def native_available() -> bool:
     return load_native() is not None
+
+
+# ---------------------------------------------------------------------------
+# Video decode (liblrce_video.so, linked against the system libav*/ffmpeg).
+# Separate shared object: a host without libavformat keeps the rest of the
+# native runtime and falls back to cv2 for .avi/.mp4.
+# ---------------------------------------------------------------------------
+
+_VIDEO_LIB_PATH = os.path.join(_DIR, "liblrce_video.so")
+_video_lib = None
+_video_build_attempted = False
+
+
+def load_native_video() -> Optional[ctypes.CDLL]:
+    global _video_lib, _video_build_attempted
+    with _lock:
+        if _video_lib is not None:
+            return _video_lib
+        if not os.path.exists(_VIDEO_LIB_PATH) and not _video_build_attempted:
+            _video_build_attempted = True
+            try:
+                subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
+        if not os.path.exists(_VIDEO_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_VIDEO_LIB_PATH)
+        except OSError:
+            return None
+        lib.video_probe.restype = ctypes.c_int
+        lib.video_probe.argtypes = [ctypes.c_char_p,
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_int)]
+        lib.video_decode_sampled.restype = ctypes.c_int
+        lib.video_decode_sampled.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int]
+        _video_lib = lib
+        return _video_lib
+
+
+def video_available() -> bool:
+    return load_native_video() is not None
+
+
+def video_probe(path: str) -> Tuple[int, int, int]:
+    """Decodable frame count + native dims -> (n_frames, width, height)."""
+    lib = load_native_video()
+    if lib is None:
+        raise RuntimeError("native video library unavailable")
+    n = ctypes.c_int()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.video_probe(path.encode(), ctypes.byref(n), ctypes.byref(w),
+                         ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"video_probe({path}) failed: {rc}")
+    return n.value, w.value, h.value
+
+
+def video_decode_sampled(path: str, indices: np.ndarray,
+                         size: Tuple[int, int]) -> np.ndarray:
+    """Decode the (sorted unique, ascending) frame `indices` and resize each
+    to size=(H', W') -> (len(indices), H', W', 3) uint8. Byte-exact with
+    cv2's ffmpeg backend (same libavcodec decode)."""
+    lib = load_native_video()
+    if lib is None:
+        raise RuntimeError("native video library unavailable")
+    idx = np.ascontiguousarray(indices, np.int32)
+    out = np.empty((len(idx), size[0], size[1], 3), np.uint8)
+    rc = lib.video_decode_sampled(
+        path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(idx), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        size[0], size[1])
+    if rc != 0:
+        raise IOError(f"video_decode_sampled({path}): {rc} wanted frames "
+                      "unreadable" if rc > 0 else
+                      f"video_decode_sampled({path}) failed: {rc}")
+    return out

@@ -103,10 +103,13 @@ def _fwd_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, *, ln_eps, interpret):
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=x.size * 4,
                                       transcendentals=b * d * h * w * ff),
         # f32 activations (eval parity runs) put the live set ~80 KB over
-        # Mosaic's 16 MB default scoped-vmem budget; the chip has far more
-        # physical VMEM (verified on-chip, see pallas_window_attn backward).
+        # Mosaic's 16 MB default scoped-vmem budget. Raise it ONLY for f32:
+        # bf16 fits the default, and a raised budget on large-grid bf16
+        # programs faults the TPU worker on this backend (see
+        # pallas_window_attn._fused_fwd_impl).
         compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20)
-                         if not interpret else None),
+                         if not interpret and x.dtype == jnp.float32
+                         else None),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
 

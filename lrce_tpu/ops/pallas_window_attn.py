@@ -188,10 +188,14 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=x.size * 4,
                                       transcendentals=b * nd * nh * nw * n * n),
         # f32 activations (eval parity runs) roughly double the live set
-        # past Mosaic's conservative default scoped-vmem budget; the chip
-        # has the physical headroom (verified on-chip, see _pallas_bwd_impl).
+        # past Mosaic's conservative default scoped-vmem budget. Raise the
+        # budget ONLY for f32: at bf16 the default suffices, and on this
+        # backend a raised budget on large-grid bf16 programs reproducibly
+        # faults the TPU worker (double-buffered windows overlapping the
+        # enlarged scoped region), while f32 parity runs are small.
         compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
-                         if not interpret else None),
+                         if not interpret and x.dtype == jnp.float32
+                         else None),
         interpret=interpret,
     )(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask)
 
@@ -418,11 +422,13 @@ def _pallas_bwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
             flops=3 * fwd_flops, bytes_accessed=x.size * 8,
             transcendentals=b * nd * nh * nw * n * n),
         # The dgrad program's live set (recompute + grad accumulators +
-        # per-head cotangent pieces) peaks ~17 MB at C=256 — above Mosaic's
-        # conservative 16 MB default scoped-vmem budget but well within the
-        # chip's physical VMEM (verified on-chip: 32/64/100 MB budgets
-        # compile and run on v5e).
-        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
+        # per-head cotangent pieces) peaks at 25.35 MB at C=512 (XLA scoped-
+        # allocation report) — above Mosaic's conservative 16 MB default.
+        # Raise it only as far as needed: large raises (64 MB) on big-grid
+        # programs fault the TPU worker on this backend (reproduced and
+        # bisected on-chip), while 28 MB leaves VMEM headroom for the
+        # pipeline buffers.
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=28 * 2**20)
                          if not interpret else None),
         interpret=interpret,
     )(x, g.astype(x.dtype), ln_scale, ln_bias, qkv_w, qkv_b, proj_w, rel_bias,
@@ -440,10 +446,23 @@ def _pallas_bwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
             jnp.zeros_like(mask))
 
 
+#: Largest clip count the fused backward kernel may serve. The kernel needs
+#: a raised scoped-vmem budget (25.35 MB at C=512), and on this backend a
+#: raised budget combined with a large grid reproducibly faults the TPU
+#: worker (bisected on-chip: 36-clip train steps run, 48-clip ones fault
+#: with ANY raised budget while running clean with the default budget).
+#: Above the threshold the backward transparently falls back to
+#: differentiating the XLA-equivalent computation, which needs no raise.
+PALLAS_BWD_MAX_CLIPS = 40
+
+
 def _bwd(window, num_heads, ln_eps, interpret, res, g):
     import os
 
-    if os.environ.get("LRCE_TPU_XLA_BWD"):
+    use_pallas = not os.environ.get("LRCE_TPU_XLA_BWD")
+    if use_pallas and not interpret and res[0].shape[0] > PALLAS_BWD_MAX_CLIPS:
+        use_pallas = False
+    if not use_pallas:
         # Backward through the XLA-equivalent computation (recompute fwd).
         def f(*args):
             return _xla_equivalent(*args, window=window, num_heads=num_heads,
@@ -611,8 +630,13 @@ def _hsplit_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
         scratch_shapes=[pltpu.VMEM((kb * nw * n, c), jnp.float32)],
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=x.size * 4,
                                       transcendentals=b * nd * nh * nw * n * n),
+        # Raised scoped-vmem budget ONLY for f32 (see _fused_fwd_impl): a
+        # raised budget on large-grid bf16 programs faults the TPU worker
+        # on this backend, and the bf16 live set (~7 MB/program) fits the
+        # default budget.
         compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
-                         if not interpret else None),
+                         if not interpret and x.dtype == jnp.float32
+                         else None),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wg, bg, proj_w, proj_b, rel_bias, mask)
 

@@ -303,6 +303,44 @@ def test_clip_cache_skips_decode(tgif_fixture, vocab_file, monkeypatch):
     np.testing.assert_array_equal(first[0], second[0])
 
 
+def test_uint8_clips_dataset_mode(tgif_fixture, vocab_file):
+    """uint8_clips=True must return raw uint8 clips equal to 255x the float
+    path (same decode, no host-side scaling), including through the cache."""
+    from lrce_tpu.data.datasets import E2ETGIFDataset
+
+    tok = BertWordPieceTokenizer(vocab_file)
+    kw = dict(
+        split_annotation=str(tgif_fixture / "annotations/Train_frameqa_question.csv"),
+        full_annotation=str(tgif_fixture / "annotations/Total_frameqa_question.csv"),
+        videos_path=str(tgif_fixture / "gifs"),
+        task_type="oe", temporal_scale=[1, 2], frame_size=(16, 16),
+        max_text_token_len=12, tokenizer=tok, cache_items=4)
+    ds_f = E2ETGIFDataset(**kw)
+    ds_u = E2ETGIFDataset(**kw, uint8_clips=True)
+
+    cf = ds_f[0][0]
+    cu = ds_u[0][0]
+    assert cu.dtype == np.uint8 and cf.dtype == np.float32
+    np.testing.assert_array_equal(cu.astype(np.float32) / 255.0, cf)
+    # cache hit keeps uint8
+    cu2 = ds_u[0][0]
+    assert cu2.dtype == np.uint8
+    np.testing.assert_array_equal(cu, cu2)
+
+
+def test_uint8_transfer_cli_flag():
+    from lrce_tpu.config import parse_arg_eval, parse_arg_train
+
+    args = parse_arg_train(["--dataset", "tgif-frameqa", "--dataset-dir", "."])
+    assert args.uint8_transfer is True
+    args = parse_arg_train(["--dataset", "tgif-frameqa", "--dataset-dir", ".",
+                            "--no-uint8-transfer"])
+    assert args.uint8_transfer is False
+    args = parse_arg_eval(["--dataset", "tgif-frameqa", "--dataset-dir", ".",
+                           "--model-path", "x", "--no-uint8-transfer"])
+    assert args.uint8_transfer is False
+
+
 def test_cache_items_cli_flag(tmp_path):
     """--cache-items must parse on both CLIs and default to 0."""
     from lrce_tpu.config import parse_arg_eval, parse_arg_train

@@ -74,6 +74,23 @@ def test_e2e_jit_and_grad():
     assert gsum > 0
 
 
+def test_uint8_clips_byte_exact_with_float_path():
+    """uint8 device transfer (--uint8-transfer) must be BYTE-EXACT with the
+    host float32 path: uint8 -> f32 is exact and IEEE f32 division matches
+    numpy's (models/e2e.py device-side normalization)."""
+    cfg = tiny_cfg("oe")
+    params = E.e2e_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    s = sum(cfg.temporal_scale)
+    raw = rng.randint(0, 256, (2, s, 5, 16, 16, 3)).astype(np.uint8)
+    _, ids, mask, types = make_inputs(cfg)
+
+    host_float = jnp.asarray(raw.astype(np.float32) / 255.0)
+    out_f = E.e2e_forward(params, host_float, ids, mask, types, cfg)
+    out_u8 = E.e2e_forward(params, jnp.asarray(raw), ids, mask, types, cfg)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_u8))
+
+
 def test_video_extractor_matches_per_clip_loop():
     """Folding clips into the batch must equal running Swin per clip."""
     cfg = tiny_cfg("oe")

@@ -107,3 +107,77 @@ def test_gif_probe(tmp_path):
     frames[0].save(path, save_all=True, append_images=frames[1:], duration=40)
     w, h, n = native.gif_probe(str(path))
     assert (w, h, n) == (12, 10, 4)
+
+
+# ---------------------------------------------------------------------------
+# Native .avi/.mp4 decode (liblrce_video.so via system libav*)
+# ---------------------------------------------------------------------------
+
+needs_video = pytest.mark.skipif(not native.video_available(),
+                                 reason="liblrce_video unavailable")
+
+
+def _write_mjpg_avi(path, n_frames=23, size=(48, 40)):
+    import cv2
+
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 25, size)
+    rng = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:size[1], 0:size[0]].astype(np.float32)
+    for t in range(n_frames):
+        img = (128 + 100 * np.sin(xx / 9 + t / 2)
+               * np.cos(yy / 7 - t / 3)).astype(np.uint8)
+        w.write(np.stack([img, np.roll(img, t, 1), 255 - img], -1))
+    w.release()
+
+
+@needs_video
+def test_video_probe_matches_cv2_count(tmp_path):
+    path = tmp_path / "v.avi"
+    _write_mjpg_avi(path)
+    n, w, h = native.video_probe(str(path))
+    assert (w, h) == (48, 40)
+    # compare against the cv2 grab sweep explicitly (count_frames itself
+    # routes through the native probe, so it would be circular here)
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    n_cv = 0
+    while cap.grab():
+        n_cv += 1
+    cap.release()
+    assert n == n_cv == 23
+
+
+@needs_video
+def test_video_decode_sampled_byte_exact_with_cv2(tmp_path):
+    """The native path and the cv2 path share libavcodec underneath, so the
+    decoded+resized frames must be byte-identical (the guarantee that lets
+    the native path be the default without a parity caveat)."""
+    import os
+
+    from lrce_tpu.data import video_decode as VD
+
+    path = tmp_path / "v.avi"
+    _write_mjpg_avi(path)
+    idx = np.array([0, 2, 9, 9, 22])  # duplicates + first/last
+    got = VD.decode_sampled_frames(str(path), idx, (32, 36))
+    os.environ["LRCE_TPU_DISABLE_NATIVE"] = "1"
+    try:
+        ref = VD.decode_sampled_frames(str(path), idx, (32, 36))
+    finally:
+        del os.environ["LRCE_TPU_DISABLE_NATIVE"]
+    np.testing.assert_array_equal(got, ref)
+
+
+@needs_video
+def test_get_video_clips_native_avi(tmp_path):
+    """End-to-end get_video_clips over the native .avi path, incl. cache."""
+    from lrce_tpu.data.video_decode import ClipCache, get_video_clips
+
+    path = tmp_path / "v.avi"
+    _write_mjpg_avi(path)
+    cache = ClipCache(2)
+    a = get_video_clips(str(path), 5, (1, 2), (24, 24), cache)
+    assert a.shape == (3, 5, 24, 24, 3) and a.dtype == np.float32
+    b = get_video_clips(str(path), 5, (1, 2), (24, 24), cache)
+    np.testing.assert_array_equal(a, b)

@@ -102,6 +102,27 @@ def test_custom_vjp_matches_xla_grad(shifted):
                                    err_msg=f"grad argnum {i}")
 
 
+def test_bwd_auto_fallback_above_clip_threshold(monkeypatch):
+    """Above PALLAS_BWD_MAX_CLIPS the backward must route to the XLA
+    recompute path even with interpret=False (the fused kernel's raised
+    scoped-vmem budget faults the TPU worker on large grids, bisected
+    on-chip). On the CPU backend a real pallas_call would error, so this
+    grad succeeding proves the fallback took the XLA path."""
+    monkeypatch.setattr(PW, "PALLAS_BWD_MAX_CLIPS", 1)
+    inputs, window, heads = setup_case(b=2, shifted=False)
+
+    # call _bwd directly: residuals are the primal inputs
+    g = jnp.ones(inputs[0].shape, inputs[0].dtype)
+    grads = PW._bwd(window, heads, 1e-5, False, inputs, g)
+    assert len(grads) == 9
+    ref = jax.grad(
+        lambda x: jnp.sum(PW._xla_equivalent(
+            x, *inputs[1:], window=window, num_heads=heads, ln_eps=1e-5)))(
+        inputs[0])
+    np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_custom_vjp_xla_fallback_env(monkeypatch):
     """LRCE_TPU_XLA_BWD=1 must route the backward through the XLA recompute
     path and produce (tightly) matching gradients."""

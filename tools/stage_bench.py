@@ -59,14 +59,17 @@ def main(argv=None):
         depth = cfg.depths[si]
         heads = cfg.num_heads[si]
 
-        def run(p, x, _depth=depth, _heads=heads):
-            return S.swin_stage(p, x, depth=_depth, num_heads=_heads,
-                                cfg=cfg, dp_rates=[0.0] * _depth,
-                                deterministic=True, rng=None)
-
         times = {}
         for mode, env in [("pallas", {}),
                           ("xla", {"LRCE_TPU_DISABLE_PALLAS": "1"})]:
+            # fresh closure per mode: jit memoizes traces by function
+            # identity, so reusing one function would silently reuse the
+            # first mode's lowering and ignore the env toggle
+            def run(p, x, _depth=depth, _heads=heads):
+                return S.swin_stage(p, x, depth=_depth, num_heads=_heads,
+                                    cfg=cfg, dp_rates=[0.0] * _depth,
+                                    deterministic=True, rng=None)
+
             for k, v in env.items():
                 os.environ[k] = v
             try:

@@ -34,6 +34,7 @@ def build_datasets(train_args, splits=("train", "val")):
         frames_per_clip=train_args.frame_sample_size,
         temporal_scale=train_args.temporal_scale,
         cache_items=getattr(train_args, "cache_items", 0),
+        uint8_clips=getattr(train_args, "uint8_transfer", True),
     )
     datasets = []
     if "tgif" in train_args.dataset:
