@@ -46,15 +46,26 @@ def _pil_resize(frame_rgb: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 _FRAME_COUNT_CACHE: dict = {}
 _FRAME_COUNT_LOCK = threading.Lock()
 
+#: Videos whose native decode failed once: pinned to the cv2 path so their
+#: cached (cv2) frame count and decode backend stay consistent on revisits.
+_FORCE_CV2_PATHS: set = set()
+
 
 def count_frames_cached(path: str) -> int:
     with _FRAME_COUNT_LOCK:
         n = _FRAME_COUNT_CACHE.get(path)
     if n is None:
-        n = count_frames(path)
+        n = count_frames(path, force_cv2=path in _FORCE_CV2_PATHS)
         with _FRAME_COUNT_LOCK:
             _FRAME_COUNT_CACHE[path] = n
     return n
+
+
+def invalidate_frame_count(path: str) -> None:
+    """Drop a cached count (used when the native probe turns out to
+    disagree with what is actually decodable and cv2 must recount)."""
+    with _FRAME_COUNT_LOCK:
+        _FRAME_COUNT_CACHE.pop(path, None)
 
 
 def _native_video() :
@@ -70,16 +81,19 @@ def _native_video() :
     return None
 
 
-def count_frames(path: str, trust_metadata: bool = False) -> int:
+def count_frames(path: str, trust_metadata: bool = False,
+                 force_cv2: bool = False) -> int:
     """Decodable frame count.
 
     Defaults to a grab() sweep (no color-convert/resize) because container
     metadata often disagrees with the actually-decodable frame count for
     GIFs/AVIs — and the sampling indices must match the reference, which
     counts by decoding (e2e_dataset.py:81-84). .avi/.mp4 go through the
-    native libav* sweep when available (GIL-free, no per-frame Python).
+    native libav* sweep when available (GIL-free, no per-frame Python);
+    force_cv2 pins the cv2 grab() count (used after a native-decode
+    failure, where the native packet count cannot be trusted).
     """
-    if not trust_metadata and not path.lower().endswith(".gif"):
+    if not force_cv2 and not trust_metadata and not path.lower().endswith(".gif"):
         nat = _native_video()
         if nat is not None:
             try:
@@ -105,7 +119,8 @@ def count_frames(path: str, trust_metadata: bool = False) -> int:
 
 
 def decode_sampled_frames(path: str, indices: np.ndarray,
-                          frame_size: Tuple[int, int]) -> np.ndarray:
+                          frame_size: Tuple[int, int],
+                          force_cv2: bool = False) -> np.ndarray:
     """Decode a video, retrieving/preprocessing only `indices` frames.
 
     Uses grab() to skip undecoded-for-display frames (decode still advances,
@@ -115,19 +130,20 @@ def decode_sampled_frames(path: str, indices: np.ndarray,
     .avi/.mp4 use the native libav* single-pass decoder when available —
     byte-exact with the cv2 path (same libavcodec decode underneath), ~5x
     faster cold (skipped stream analysis + intra-only packet skipping);
-    LRCE_TPU_DISABLE_NATIVE=1 forces cv2.
+    LRCE_TPU_DISABLE_NATIVE=1 forces cv2. On a native-decode failure the
+    caller must recompute `indices` against the cv2 frame count (the native
+    packet count may be what was wrong) — get_video_clips does this.
     """
-    if not path.lower().endswith(".gif"):
+    if not force_cv2 and not path.lower().endswith(".gif"):
         nat = _native_video()
         if nat is not None:
-            try:
-                uniq = np.unique(indices).astype(np.int32)
-                frames = nat.video_decode_sampled(path, uniq, frame_size)
-                lut = {int(i): frames[k] for k, i in enumerate(uniq)}
-                return np.stack([lut[int(i)] for i in indices.reshape(-1)],
-                                axis=0)
-            except IOError:
-                pass  # fall through to cv2
+            uniq = np.unique(indices).astype(np.int32)
+            frames = nat.video_decode_sampled(path, uniq, frame_size)
+            flat = indices.reshape(-1)
+            if uniq.shape == flat.shape and np.array_equal(uniq, flat):
+                return frames  # common case: already unique + sorted
+            lut = {int(i): frames[k] for k, i in enumerate(uniq)}
+            return np.stack([lut[int(i)] for i in flat], axis=0)
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -273,7 +289,25 @@ def get_video_clips(path: str, frames_per_clip: int = 5,
             raise ValueError(
                 f"Error in video {path}, too many frames_per_clip, set lower value")
         idx = clip_indices(n, frames_per_clip, temporal_scale)
-        flat = decode_sampled_frames(path, idx, frame_size)
+        try:
+            flat = decode_sampled_frames(path, idx, frame_size,
+                                         force_cv2=path in _FORCE_CV2_PATHS)
+        except IOError:
+            # Native decode failed — the cached native packet count may be
+            # the culprit (e.g. packets that never decode into frames).
+            # Recount with cv2's grab() semantics, recompute the sampling
+            # indices against it, and decode through cv2.
+            invalidate_frame_count(path)
+            _FORCE_CV2_PATHS.add(path)
+            n = count_frames(path, force_cv2=True)
+            with _FRAME_COUNT_LOCK:
+                _FRAME_COUNT_CACHE[path] = n
+            if n < frames_per_clip:
+                raise ValueError(
+                    f"Error in video {path}, too many frames_per_clip, "
+                    f"set lower value")
+            idx = clip_indices(n, frames_per_clip, temporal_scale)
+            flat = decode_sampled_frames(path, idx, frame_size, force_cv2=True)
         clips = flat.reshape(idx.shape + flat.shape[1:])  # (S,fpc,H,W,3) u8
 
     if cache is not None:

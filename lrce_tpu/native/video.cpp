@@ -82,12 +82,15 @@ struct Reader {
 
   // Demux-only packet count on the video stream — the cheap sweep cv2's
   // grab() loop amounts to. One packet = one frame for the containers the
-  // datasets use (MJPG .avi, h264 .mp4).
+  // datasets use (MJPG .avi, h264 .mp4). Zero-size packets (AVI drop/padding
+  // entries) produce no decoded frame, so they are excluded — cv2's grab()
+  // count excludes them too, and sweep() skips them in the same way so the
+  // two index spaces stay aligned.
   int count_packets() {
     AVPacket* pkt = av_packet_alloc();
     int n = 0;
     while (av_read_frame(fmt, pkt) >= 0) {
-      if (pkt->stream_index == stream) ++n;
+      if (pkt->stream_index == stream && pkt->size > 0) ++n;
       av_packet_unref(pkt);
     }
     av_packet_free(&pkt);
@@ -119,6 +122,13 @@ struct Reader {
 
     while (!stop && av_read_frame(fmt, pkt) >= 0) {
       if (pkt->stream_index == stream) {
+        if (pkt->size == 0) {
+          // AVI drop/padding packet: no frame comes out of it (and an empty
+          // packet sent to the decoder would be taken as an EOF flush), and
+          // count_packets() excluded it — skip without advancing pos.
+          av_packet_unref(pkt);
+          continue;
+        }
         if (skip_unwanted) {
           if (wi >= n_wanted) {
             av_packet_unref(pkt);

@@ -301,6 +301,11 @@ class AgentBase:
         for i in range(self.args.epoch):
             self.logger.info(f"Epoch {i + 1}/{self.args.epoch}")
             deque(self.process_data(dl, True, i), maxlen=0)
+            if self.last_train_loss is None:
+                # An empty sanity loader yields no train batches; surface
+                # that instead of a TypeError on the format below.
+                self.logger.info("Sanity loss n/a (no train batches)")
+                continue
             self.logger.info(
                 f"Sanity loss {self.last_train_loss:.5f} "
                 f"{self.metric_name} {self.last_train_metric * 100:.2f}%")

@@ -265,9 +265,9 @@ def test_frame_count_cache(tgif_fixture, monkeypatch):
     calls = {"n": 0}
     real = VD.count_frames
 
-    def counting(path, trust_metadata=False):
+    def counting(path, trust_metadata=False, force_cv2=False):
         calls["n"] += 1
-        return real(path, trust_metadata)
+        return real(path, trust_metadata, force_cv2)
 
     monkeypatch.setattr(VD, "count_frames", counting)
     monkeypatch.setattr(VD, "_FRAME_COUNT_CACHE", {})

@@ -181,3 +181,35 @@ def test_get_video_clips_native_avi(tmp_path):
     assert a.shape == (3, 5, 24, 24, 3) and a.dtype == np.float32
     b = get_video_clips(str(path), 5, (1, 2), (24, 24), cache)
     np.testing.assert_array_equal(a, b)
+
+
+@needs_video
+def test_native_failure_recounts_with_cv2(tmp_path, monkeypatch):
+    """When the native probe's count disagrees with what native decode can
+    deliver, get_video_clips must invalidate the cached count, recount with
+    cv2 grab() semantics, recompute sampling indices, and decode through cv2
+    (ADVICE r2: stale native counts previously made the cv2 fallback fail
+    too). The path is then pinned to cv2 for later fetches."""
+    from lrce_tpu import native as nat
+    from lrce_tpu.data import video_decode as VD
+
+    path = tmp_path / "v.avi"
+    _write_mjpg_avi(path)
+    monkeypatch.setattr(VD, "_FRAME_COUNT_CACHE", {})
+    monkeypatch.setattr(VD, "_FORCE_CV2_PATHS", set())
+
+    # Native probe overcounts (simulating zero-size/undecodable packets) and
+    # native decode refuses the resulting out-of-range indices.
+    monkeypatch.setattr(nat, "video_probe", lambda p: (40, 48, 40))
+
+    def failing(p, idx, size):
+        raise IOError("frames not decodable")
+
+    monkeypatch.setattr(nat, "video_decode_sampled", failing)
+
+    got = VD.get_video_clips(str(path), 5, (1, 2), (24, 24))
+    assert str(path) in VD._FORCE_CV2_PATHS
+    assert VD._FRAME_COUNT_CACHE[str(path)] == 23  # cv2 grab count
+
+    ref = VD.get_video_clips(str(path), 5, (1, 2), (24, 24))  # pinned cv2
+    np.testing.assert_array_equal(got, ref)
