@@ -164,6 +164,130 @@ struct Reader {
   }
 };
 
+// One demuxed video packet's timing, gathered by the seek planner's
+// demux-only pre-pass (no decode).
+struct PktTime {
+  int64_t ts;   // pts, falling back to dts
+  bool key;     // container sync sample (mp4 stss / AVI keyframe flag)
+};
+
+// Sampled decode for INTER codecs (h264/mpeg4 — MSRVTT .mp4) via keyframe
+// seeks: a demux-only pre-pass records every packet's timestamp + keyframe
+// flag, presentation order falls out of a stable sort by timestamp, and
+// each wanted frame is reached by avformat_seek_file to its governing
+// keyframe (nearest sync sample at or before it) + forward decode. Only
+// GOP segments containing sampled frames decode — the reference decodes
+// every frame up to the max sampled index on every fetch
+// (reference lrce/dataset/e2e_dataset.py:76-84). Byte-exact with the
+// linear decode: sync samples are full refreshes, so frames ≥ the seek
+// point reconstruct identically.
+//
+// Returns the number of wanted frames NOT decoded (0 = success), or <0
+// if the stream has unusable timestamps (caller reopens and runs the
+// linear sweep).
+template <typename EmitFn>
+int decode_with_seeks(Reader& r, const int* indices, int n_idx,
+                      EmitFn&& emit_frame) {
+  // ---- pass 1: demux-only timing scan ----
+  std::vector<PktTime> pk;
+  {
+    AVPacket* pkt = av_packet_alloc();
+    bool bad_ts = false;
+    while (av_read_frame(r.fmt, pkt) >= 0) {
+      if (pkt->stream_index == r.stream && pkt->size > 0) {
+        int64_t ts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+        if (ts == AV_NOPTS_VALUE) bad_ts = true;
+        pk.push_back({ts, (pkt->flags & AV_PKT_FLAG_KEY) != 0});
+      }
+      av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+    if (bad_ts || pk.empty()) return -1;
+  }
+  const int n = (int)pk.size();
+
+  // presentation order = stable sort of packet timestamps
+  std::vector<int> ord(n);
+  for (int i = 0; i < n; ++i) ord[i] = i;
+  std::stable_sort(ord.begin(), ord.end(),
+                   [&](int a, int b) { return pk[a].ts < pk[b].ts; });
+  std::vector<int64_t> pres_ts(n);
+  for (int p = 0; p < n; ++p) pres_ts[p] = pk[ord[p]].ts;
+
+  // keyframe presentation positions (ascending)
+  std::vector<int> kf;
+  for (int p = 0; p < n; ++p)
+    if (pk[ord[p]].key) kf.push_back(p);
+  if (kf.empty() || kf[0] != 0) return -1;  // first frame must be a sync
+
+  auto governing = [&](int want) {
+    auto it = std::upper_bound(kf.begin(), kf.end(), want);
+    return *(it - 1);
+  };
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int next = 0;        // next wanted slot
+  int cur = -1;        // presentation position of the last decoded frame
+
+  auto pres_pos = [&](int64_t ts) -> int {
+    auto it = std::lower_bound(pres_ts.begin(), pres_ts.end(), ts);
+    if (it == pres_ts.end() || *it != ts) return -1;
+    return (int)(it - pres_ts.begin());
+  };
+
+  while (next < n_idx && indices[next] < n) {
+    const int g = governing(indices[next]);
+    if (g > cur) {
+      // a sync sample lies strictly ahead: jumping to it decodes no more
+      // frames than rolling forward would, usually far fewer
+      if (avformat_seek_file(r.fmt, r.stream, INT64_MIN, pres_ts[g],
+                             pres_ts[g], AVSEEK_FLAG_BACKWARD) < 0)
+        break;
+      avcodec_flush_buffers(r.dec);
+    }
+    // decode forward until this wanted frame is emitted — drain the
+    // decoder BEFORE feeding the next packet (send_packet rejects input
+    // with EAGAIN while output frames are pending; dropping a packet there
+    // would silently skip frames)
+    bool emitted = false, sent_eof = false;
+    while (!emitted) {
+      int rr;
+      while ((rr = avcodec_receive_frame(r.dec, frame)) == 0) {
+        int64_t fts = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                          ? frame->best_effort_timestamp
+                          : frame->pts;
+        const int p = pres_pos(fts);
+        if (p < 0) continue;
+        cur = p;
+        if (p == indices[next]) {
+          if (emit_frame(frame)) {
+            ++next;
+            emitted = true;
+          }
+          break;  // re-plan (maybe seek) for the following wanted frame
+        }
+      }
+      if (emitted) break;
+      if (rr == AVERROR_EOF || sent_eof) break;  // drained to stream end
+      int rd = av_read_frame(r.fmt, pkt);
+      if (rd < 0) {
+        avcodec_send_packet(r.dec, nullptr);  // enter draining mode
+        sent_eof = true;
+        continue;
+      }
+      if (pkt->stream_index == r.stream && pkt->size > 0)
+        avcodec_send_packet(r.dec, pkt);
+      av_packet_unref(pkt);
+    }
+    if (!emitted) break;  // stream ended (or seek failed) before the frame
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return n_idx - next;
+}
+
 }  // namespace
 
 extern "C" {
@@ -219,6 +343,32 @@ int video_decode_sampled(const char* path, const int* indices, int n_idx,
     ++next;
     return true;
   };
+
+  if (!r.intra_only()) {
+    // Inter codec (h264/mpeg4 .mp4 — MSRVTT): keyframe-seek plan. Only the
+    // GOP segments containing sampled frames decode. Falls back to the
+    // linear sweep (fresh open: the pre-pass consumed the stream) when the
+    // container has no usable timestamps.
+    int rc = decode_with_seeks(r, indices, n_idx, emit_frame);
+    if (rc >= 0) {
+      if (sws) sws_freeContext(sws);
+      return rc;
+    }
+    if (sws) sws_freeContext(sws);
+    sws = nullptr;
+    rgb_w = rgb_h = 0;
+    next = 0;
+    Reader r2;
+    if (r2.open(path) != 0) return -1;
+    r2.sweep([&](AVFrame* f, int pos) {
+      if (next >= n_idx) return false;
+      if (pos != indices[next]) return true;
+      if (!emit_frame(f)) return false;
+      return next < n_idx;
+    }, indices, n_idx);
+    if (sws) sws_freeContext(sws);
+    return n_idx - next;
+  }
 
   r.sweep([&](AVFrame* f, int pos) {
     if (next >= n_idx) return false;

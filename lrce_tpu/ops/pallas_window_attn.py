@@ -16,8 +16,13 @@ Numerics match the XLA path: f32 LayerNorm/softmax/matmul accumulation,
 bf16 activations. The backward pass is a second fused Pallas kernel
 (flash-style: LN/qkv/softmax recomputed in VMEM from the saved block input,
 dQ/dK/dV/dW accumulated across the sequential grid), so training never
-materializes attention intermediates in HBM. Set LRCE_TPU_XLA_BWD=1 to fall
-back to differentiating the XLA-equivalent computation instead.
+materializes attention intermediates in HBM. At C>=512 the backward splits
+the heads into chunks — one pallas_call per chunk — so every program's live
+set fits Mosaic's 16 MB default scoped-vmem budget (a raised budget on a
+large grid faults this backend's TPU worker; PERF.md "Backend fault"); the
+LayerNorm input backward then runs as one fused XLA pass over the summed
+partial cotangents. Set LRCE_TPU_XLA_BWD=1 BEFORE import to fall back to
+differentiating the XLA-equivalent computation instead.
 
 Reference behavior being accelerated: WindowAttention3D + window partition
 (reference lrce/feature_extractor/video_swin_ori.py:60-88,107-189,248-282).
@@ -224,26 +229,35 @@ def _fwd(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
                  mask)
 
 
-def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, qkv_w_ref, qkv_b_ref,
-                proj_w_ref, bias_ref, mask_ref,
-                dx_ref, dls_ref, dlb_ref, dqkvw_ref, dqkvb_ref, dpw_ref,
-                drel_ref, *,
-                window: Tuple[int, int, int], num_heads: int, ln_eps: float,
-                kh_rows: int):
-    """Fused backward for LN1 + window attention + proj on one
-    (wd, kh*wh, Wp, C) tile: recomputes the forward in VMEM (flash-style)
-    and produces dx for the tile plus weight/bias/rel-bias gradients
-    accumulated across the sequential grid into constant-index output blocks
-    (TPU grids are sequential, so the accumulator blocks stay VMEM-resident
-    for the whole call and flush once at the end).
+def _bwd_chunk_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, wc_ref, bc_ref,
+                      pwc_ref, bias_ref, mask_ref,
+                      dy_ref, dqkvw_ref, dqkvb_ref, dpw_ref, drel_ref, *,
+                      window: Tuple[int, int, int], chunk_heads: int,
+                      ln_eps: float, kh_rows: int, n_wgroups: int):
+    """Backward for one HEAD CHUNK of LN1 + window attention + proj on one
+    (wd, kh*wh, Wp, C) tile: recomputes LN/qkv/softmax in VMEM (flash-style)
+    for the chunk's heads only and produces
+
+      dy (partial)  — this chunk's contribution to the LN-output cotangent,
+                      in x layout (the LN input backward runs OUTSIDE, in one
+                      fused XLA pass, once all chunks are summed);
+      dWqkv/dbqkv   — this chunk's column slice, [q_cols | k_cols | v_cols];
+      dWproj rows   — this chunk's row slice;
+      drel          — this chunk's heads' relative-position-bias grads.
+
+    Weight grads accumulate across the sequential grid into constant-index
+    output blocks (TPU grids are sequential, so the accumulator blocks stay
+    VMEM-resident for the whole call and flush once at the end). Chunking
+    the heads bounds the per-program live set under Mosaic's 16 MB default
+    scoped-vmem budget — this backend reproducibly faults the TPU worker
+    when a raised budget meets a large grid (see PERF.md "Backend fault"),
+    so no budget raise is acceptable on the training path.
     """
     first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
              & (pl.program_id(2) == 0))
 
     @pl.when(first)
     def _():
-        dls_ref[:] = jnp.zeros_like(dls_ref)
-        dlb_ref[:] = jnp.zeros_like(dlb_ref)
         dqkvw_ref[:] = jnp.zeros_like(dqkvw_ref)
         dqkvb_ref[:] = jnp.zeros_like(dqkvb_ref)
         dpw_ref[:] = jnp.zeros_like(dpw_ref)
@@ -255,187 +269,283 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, qkv_w_ref, qkv_b_ref,
     g = g_ref[0]
     wp, c = x.shape[-2], x.shape[-1]
     kw_cols = wp // ww                 # full-W span (Mosaic block-shape rule)
-    nwin = kh_rows * kw_cols
-    hd = c // num_heads
+    kwg = kw_cols // n_wgroups         # window columns per window group
+    nwin = kh_rows * kwg               # windows per group
+    ch = pwc_ref.shape[0]              # chunk width = chunk_heads * head_dim
+    hd = ch // chunk_heads
     dt = x.dtype
     scale = 1.0 / math.sqrt(hd)
 
-    # ---- recompute LayerNorm (residuals for the LN backward) ----
+    # ---- recompute LayerNorm output (input backward happens outside) ----
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + ln_eps)
-    xn = (xf - mean) * inv
-    gamma = ln_scale_ref[:].astype(jnp.float32)
-    y = (xn * gamma + ln_bias_ref[:].astype(jnp.float32)).astype(dt)
+    y = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    y = (y * ln_scale_ref[:].astype(jnp.float32)
+         + ln_bias_ref[:].astype(jnp.float32)).astype(dt)
 
-    def part(t):  # (wd, kh*wh, Wp, C) -> (nwin, N, C)
-        t = t.reshape(wd, kh_rows, wh, kw_cols, ww, c)
+    def part(t):  # (wd, kh*wh, kwg*ww, C) -> (nwin, N, C)
+        t = t.reshape(wd, kh_rows, wh, kwg, ww, c)
         return t.transpose(1, 3, 0, 2, 4, 5).reshape(nwin, n, c)
 
-    y2d = part(y).reshape(nwin * n, c)
-    g2d = part(g).reshape(nwin * n, c)
+    # The W axis is processed in n_wgroups sequential slices: the Mosaic
+    # block-shape rule forbids blocking W in the grid (56 = 8 windows of 7
+    # — no 8-divisible window-aligned split), but an in-kernel slice loop
+    # divides every softmax-sized live tensor by n_wgroups all the same.
+    # Stage0 (C=128, 56x56) needs 2 groups to sit under the 16 MB default
+    # scoped-vmem budget; weight grads accumulate across groups exactly as
+    # they do across the sequential grid.
+    dy_groups = []
+    for wg in range(n_wgroups):
+        cols = slice(wg * kwg * ww, (wg + 1) * kwg * ww)
+        y2d = part(y[:, :, cols, :]).reshape(nwin * n, c)
+        g2d = part(g[:, :, cols, :]).reshape(nwin * n, c)
 
-    # ---- recompute qkv ----
-    qkv = jnp.dot(y2d, qkv_w_ref[:].astype(dt),
-                  preferred_element_type=jnp.float32)
-    qkv = (qkv + qkv_b_ref[:].astype(jnp.float32)).astype(dt)
-    qkv = qkv.reshape(nwin, n, 3 * c)
+        # ---- recompute this chunk's qkv columns ----
+        qkv = jnp.dot(y2d, wc_ref[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + bc_ref[:].astype(jnp.float32)).astype(dt)
+        qkv = qkv.reshape(nwin, n, 3 * ch)
 
-    mask = mask_ref[0].reshape(nwin, n, n)
+        mask = mask_ref[0][:, wg * kwg:(wg + 1) * kwg].reshape(nwin, n, n)
 
-    # ---- proj backward: dctx = g @ Wp^T ----
-    dctx = jax.lax.dot_general(
-        g2d, proj_w_ref[:].astype(dt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dt).reshape(nwin, n, c)
+        # ---- proj backward for the chunk's rows: dctx = g @ Wp[rows]^T ----
+        dctx = jax.lax.dot_general(
+            g2d, pwc_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt).reshape(
+                nwin, n, ch)
 
-    # Per-head attention backward. Narrow (nwin, N, hd) pieces are collected
-    # and lane-concatenated into full-width tensors before any matmul that
-    # would flatten them — Mosaic cannot shape-cast sub-lane-width vectors
-    # (e.g. (nwin, 147, 32) -> (nwin*147, 32)), but full-C reshapes and
-    # lane-concat both lower fine (same trick as the forward's ctx concat).
-    ctx_heads = []
-    dq_heads, dk_heads, dv_heads = [], [], []
-    for h in range(num_heads):
-        qh = qkv[:, :, h * hd:(h + 1) * hd]
-        kh_ = qkv[:, :, c + h * hd:c + (h + 1) * hd]
-        vh = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        # Per-head attention backward. Narrow (nwin, N, hd) pieces are
+        # lane-concatenated INCREMENTALLY into running accumulators —
+        # Mosaic cannot shape-cast sub-lane-width vectors (e.g.
+        # (nwin, 147, 32) -> (nwin*147, 32)), and keeping every head's
+        # padded piece alive until one final concat is what blew the 16 MB
+        # scoped-vmem budget (hd=32 lanes pad to 128: 4x waste per piece).
+        # With the rolling concat each dead piece frees as soon as it is
+        # absorbed. The dq/dk/dv accumulators are kept in the ACTIVATION
+        # dtype: the dWqkv/dy matmuls consume them in that dtype anyway,
+        # and the only f32 consumer (the bias sum) is taken per piece
+        # BEFORE the cast — numerically identical, and at bf16 it halves
+        # three full-width live tensors.
+        ctx_acc = None
+        dq_acc, dk_acc, dv_acc = None, None, None
+        dqb_acc, dkb_acc, dvb_acc = None, None, None
+        cat = lambda a, b: (b if a is None  # noqa: E731
+                            else jnp.concatenate([a, b], -1))
+        for j in range(chunk_heads):
+            qh = qkv[:, :, j * hd:(j + 1) * hd]
+            kh_ = qkv[:, :, ch + j * hd:ch + (j + 1) * hd]
+            vh = qkv[:, :, 2 * ch + j * hd:2 * ch + (j + 1) * hd]
 
-        # recompute softmax for this head
-        logits = jax.lax.dot_general(
-            qh, kh_, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        logits = logits + bias_ref[h][None] + mask
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)      # f32 (nwin, N, N)
-        pb = p.astype(dt)
+            # recompute softmax for this head
+            logits = jax.lax.dot_general(
+                qh, kh_, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            logits = logits + bias_ref[j][None] + mask
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)   # f32 (nwin, N, N)
+            pb = p.astype(dt)
 
-        ctx_heads.append(jax.lax.dot_general(
-            pb, vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dt))
+            ctx_acc = cat(ctx_acc, jax.lax.dot_general(
+                pb, vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(dt))
 
-        dctx_h = dctx[:, :, h * hd:(h + 1) * hd]
-        dp = jax.lax.dot_general(
-            dctx_h, vh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # (nwin, N, N)
-        dv_heads.append(jax.lax.dot_general(
-            pb, dctx_h, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))         # (nwin, N, hd)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        drel_ref[h, :, :] += jnp.sum(ds, axis=0)
-        dsb = ds.astype(dt)
-        dq_heads.append(jax.lax.dot_general(
-            dsb, kh_, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale)  # (nwin, N, hd)
-        dk_heads.append(jax.lax.dot_general(
-            dsb, qh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale)
+            dctx_h = dctx[:, :, j * hd:(j + 1) * hd]
+            dp = jax.lax.dot_general(
+                dctx_h, vh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # (nwin, N, N)
+            dv_h = jax.lax.dot_general(
+                pb, dctx_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # (nwin, N, hd)
+            dvb_acc = cat(dvb_acc, jnp.sum(dv_h, axis=(0, 1), keepdims=True))
+            dv_acc = cat(dv_acc, dv_h.astype(dt))
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            drel_ref[j, :, :] += jnp.sum(ds, axis=0)
+            dsb = ds.astype(dt)
+            dq_h = jax.lax.dot_general(
+                dsb, kh_, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # (nwin, N, hd)
+            dqb_acc = cat(dqb_acc, jnp.sum(dq_h, axis=(0, 1), keepdims=True))
+            dq_acc = cat(dq_acc, dq_h.astype(dt))
+            dk_h = jax.lax.dot_general(
+                dsb, qh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            dkb_acc = cat(dkb_acc, jnp.sum(dk_h, axis=(0, 1), keepdims=True))
+            dk_acc = cat(dk_acc, dk_h.astype(dt))
 
-    # dWp = ctx^T g over all rows (ctx in the same lane layout as forward)
-    ctx2d = jnp.concatenate(ctx_heads, axis=-1).reshape(nwin * n, c)
-    dpw_ref[:] += jax.lax.dot_general(
-        ctx2d, g2d, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        # dWp[rows] = ctx^T g over the group's rows (forward's lane layout)
+        ctx2d = ctx_acc.reshape(nwin * n, ch)
+        dpw_ref[:] += jax.lax.dot_general(
+            ctx2d, g2d, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    # dqkv in the packed [q | k | v] lane layout, then one matmul each for
-    # dWqkv (contract rows) and dy (contract lanes with Wqkv^T).
-    dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
-    dqkvb_ref[:] += jnp.sum(dqkv, axis=(0, 1))
-    dqkv2d = dqkv.astype(dt).reshape(nwin * n, 3 * c)
-    dqkvw_ref[:] += jax.lax.dot_general(
-        y2d, dqkv2d, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dy2d = jax.lax.dot_general(
-        dqkv2d, qkv_w_ref[:].astype(dt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (nwin*N, C)
+        # dqkv in the packed [q | k | v] chunk lane layout, then one matmul
+        # each for dWqkv columns (contract rows) and dy partial (contract
+        # lanes). Bias sums stay (1, 1, hd)-shaped through the loop (a bare
+        # (hd,) vector is sub-lane-width for hd<128 and crashes Mosaic);
+        # collapse once here at full 3*ch lane width.
+        dqkvb_ref[:] += jnp.concatenate(
+            [dqb_acc, dkb_acc, dvb_acc], axis=-1).reshape(3 * ch)
+        dqkv2d = jnp.concatenate(
+            [dq_acc, dk_acc, dv_acc], axis=-1).reshape(nwin * n, 3 * ch)
+        dqkvw_ref[:] += jax.lax.dot_general(
+            y2d, dqkv2d, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dy2d = jax.lax.dot_general(
+            dqkv2d, wc_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (nwin*N, C)
 
-    # ---- window reverse + LayerNorm backward (in x layout) ----
-    dy = dy2d.reshape(kh_rows, kw_cols, wd, wh, ww, c)
-    dy = dy.transpose(2, 0, 3, 1, 4, 5).reshape(wd, kh_rows * wh, wp, c)
-    dls_ref[:] += jnp.sum(dy * xn, axis=(0, 1, 2))
-    dlb_ref[:] += jnp.sum(dy, axis=(0, 1, 2))
-    dxn = dy * gamma
-    dx = inv * (dxn - jnp.mean(dxn, axis=-1, keepdims=True)
-                - xn * jnp.mean(dxn * xn, axis=-1, keepdims=True))
-    dx_ref[0] = dx.astype(dt)
+        # ---- window reverse into the group's x-layout slice ----
+        dyg = dy2d.reshape(kh_rows, kwg, wd, wh, ww, c)
+        dyg = dyg.transpose(2, 0, 3, 1, 4, 5).reshape(
+            wd, kh_rows * wh, kwg * ww, c)
+        dy_groups.append(dyg.astype(dt))
+
+    dy_ref[0] = (dy_groups[0] if n_wgroups == 1
+                 else jnp.concatenate(dy_groups, axis=2))
 
 
-def _pick_bwd_blocking(c: int, nh: int) -> int:
-    """kh_rows (h-rows of windows) per backward program; the W axis is always
-    spanned fully (Mosaic requires the second-to-last block dim be full or
-    8-divisible). The backward holds ~3x the forward's live state (grad
-    accumulators + recompute), so it runs one h-row per program — measured
-    the fastest configuration that stays within the raised VMEM budget."""
-    return 1
+def _pick_bwd_chunks(c: int, num_heads: int, dtype) -> int:
+    """Number of head chunks (= sequential pallas_calls) the backward splits
+    into. Sized so each chunk's live set (recompute + grad accumulators +
+    per-head cotangent pieces) fits Mosaic's 16 MB default scoped-vmem
+    budget — the whole point: a raised budget faults the TPU worker on
+    large grids (PERF.md). f32 activations double the live set, so they
+    chunk twice as fine. A chunk is never narrower than 128 lanes: a
+    sub-lane-width chunk (e.g. C=128 split in two, ch=64) crashes the
+    Mosaic compiler outright on the chunk-width reshape (reproduced
+    on-chip: compile-helper subprocess exit 1, not a graceful error)."""
+    f32 = jnp.dtype(dtype).itemsize > 2
+    if c >= 256:
+        want = 4 if f32 else 2
+    else:
+        want = 2 if f32 else 1
+    want = min(want, max(1, c // 128))
+    while want > 1 and num_heads % want:
+        want -= 1
+    return want
 
 
 def _pallas_bwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
                      rel_bias, mask, g, *, window, num_heads, ln_eps,
-                     interpret):
+                     interpret, chunks=None, wgroups=None):
     b, d, h, w_, c = x.shape
     wd, wh, ww = window
     nd, nh, nw = d // wd, h // wh, w_ // ww
     n = wd * wh * ww
-    kh = _pick_bwd_blocking(c, nh)
+    kh = 1  # h-rows per program; W spanned fully (Mosaic block-shape rule)
+    hd = c // num_heads
+    n_chunks = chunks if chunks is not None else _pick_bwd_chunks(
+        c, num_heads, x.dtype)
+    hc = num_heads // n_chunks         # heads per chunk
+    ch = hc * hd                       # lane width per chunk
+    # Window-group split: stage0 (C=128, un-chunkable — a sub-128-lane
+    # head chunk crashes Mosaic) sits ~0.3 MB over the default scoped-vmem
+    # budget at one group; halving the W span halves every softmax-sized
+    # live tensor instead.
+    if wgroups is None:
+        wgroups = 2 if (c <= 128 and nw % 2 == 0) else 1
+    n_wgroups = wgroups
 
     grid = (b, nd, nh // kh)
-    kernel = functools.partial(_bwd_kernel, window=window,
-                               num_heads=num_heads, ln_eps=ln_eps,
-                               kh_rows=kh)
     block = pl.BlockSpec((1, wd, kh * wh, w_, c),
                          lambda bi, di, hi: (bi, di, hi, 0, 0),
                          memory_space=pltpu.VMEM)
     acc = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     fwd_flops = (2 * b * nd * nh * nw * n * c * 4 * c
-                 + 2 * b * nd * nh * nw * num_heads * n * n * (c // num_heads) * 2)
-    dx, dls, dlb, dqkvw, dqkvb, dpw, drel = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            block,                                   # x
-            block,                                   # g
-            acc(),                                   # ln_scale
-            acc(),                                   # ln_bias
-            acc(),                                   # qkv_w
-            acc(),                                   # qkv_b
-            acc(),                                   # proj_w
-            acc(),                                   # rel_bias
-            pl.BlockSpec((1, kh, nw, n, n),
-                         lambda bi, di, hi: (di, hi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),   # mask
-        ],
-        out_specs=[
-            block,                                   # dx
-            acc(), acc(), acc(), acc(), acc(), acc()
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((c,), jnp.float32),
-            jax.ShapeDtypeStruct((c,), jnp.float32),
-            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
-            jax.ShapeDtypeStruct((3 * c,), jnp.float32),
-            jax.ShapeDtypeStruct((c, c), jnp.float32),
-            jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=3 * fwd_flops, bytes_accessed=x.size * 8,
-            transcendentals=b * nd * nh * nw * n * n),
-        # The dgrad program's live set (recompute + grad accumulators +
-        # per-head cotangent pieces) peaks at 25.35 MB at C=512 (XLA scoped-
-        # allocation report) — above Mosaic's conservative 16 MB default.
-        # Raise it only as far as needed: large raises (64 MB) on big-grid
-        # programs fault the TPU worker on this backend (reproduced and
-        # bisected on-chip), while 28 MB leaves VMEM headroom for the
-        # pipeline buffers.
-        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=28 * 2**20)
-                         if not interpret else None),
-        interpret=interpret,
-    )(x, g.astype(x.dtype), ln_scale, ln_bias, qkv_w, qkv_b, proj_w, rel_bias,
-      mask)
+                 + 2 * b * nd * nh * nw * num_heads * n * n * hd * 2)
+    kernel = functools.partial(_bwd_chunk_kernel, window=window,
+                               chunk_heads=hc, ln_eps=ln_eps, kh_rows=kh,
+                               n_wgroups=n_wgroups)
+    gc = g.astype(x.dtype)
+    # Shift-mask values are exactly {0, -100}: bf16 represents them exactly,
+    # and the in-kernel logits + mask add promotes back to f32 — halving the
+    # largest constant input block's VMEM footprint for free.
+    mask_in = mask.astype(x.dtype) if x.dtype == jnp.bfloat16 else mask
+
+    dy_f32 = None
+    qw_parts, kw_parts, vw_parts = [], [], []
+    qb_parts, kb_parts, vb_parts = [], [], []
+    dpw_parts, drel_parts = [], []
+    for ci in range(n_chunks):
+        cols = slice(ci * ch, (ci + 1) * ch)
+        # chunk column slice of the packed (C, 3C) qkv weight, pre-cast to
+        # the activation dtype (the kernel computed in that dtype anyway;
+        # casting outside keeps the f32 master copy out of VMEM)
+        wc = jnp.concatenate(
+            [qkv_w[:, cols], qkv_w[:, c:][:, cols], qkv_w[:, 2 * c:][:, cols]],
+            axis=1).astype(x.dtype)
+        bc = jnp.concatenate(
+            [qkv_b[cols], qkv_b[c:][cols], qkv_b[2 * c:][cols]])
+        pwc = proj_w[cols, :].astype(x.dtype)
+        bias_c = rel_bias[ci * hc:(ci + 1) * hc]
+
+        dy_c, dqkvw_c, dqkvb_c, dpw_c, drel_c = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                block,                                   # x
+                block,                                   # g
+                acc(),                                   # ln_scale
+                acc(),                                   # ln_bias
+                acc(),                                   # wc (chunk qkv_w)
+                acc(),                                   # bc (chunk qkv_b)
+                acc(),                                   # pwc (chunk proj_w)
+                acc(),                                   # rel_bias chunk
+                pl.BlockSpec((1, kh, nw, n, n),
+                             lambda bi, di, hi: (di, hi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),   # mask
+            ],
+            out_specs=[
+                block,                                   # dy partial
+                acc(), acc(), acc(), acc()
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct((c, 3 * ch), jnp.float32),
+                jax.ShapeDtypeStruct((3 * ch,), jnp.float32),
+                jax.ShapeDtypeStruct((ch, c), jnp.float32),
+                jax.ShapeDtypeStruct((hc, n, n), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=3 * fwd_flops // n_chunks, bytes_accessed=x.size * 8,
+                transcendentals=b * nd * nh * nw * n * n // n_chunks),
+            interpret=interpret,
+        )(x, gc, ln_scale, ln_bias, wc, bc, pwc, bias_c, mask_in)
+
+        dy_f32 = (dy_c.astype(jnp.float32) if dy_f32 is None
+                  else dy_f32 + dy_c.astype(jnp.float32))
+        qw_parts.append(dqkvw_c[:, :ch])
+        kw_parts.append(dqkvw_c[:, ch:2 * ch])
+        vw_parts.append(dqkvw_c[:, 2 * ch:])
+        qb_parts.append(dqkvb_c[:ch])
+        kb_parts.append(dqkvb_c[ch:2 * ch])
+        vb_parts.append(dqkvb_c[2 * ch:])
+        dpw_parts.append(dpw_c)
+        drel_parts.append(drel_c)
+
+    dqkvw = jnp.concatenate(
+        [jnp.concatenate(qw_parts, 1), jnp.concatenate(kw_parts, 1),
+         jnp.concatenate(vw_parts, 1)], axis=1)
+    dqkvb = jnp.concatenate(qb_parts + kb_parts + vb_parts)
+    dpw = jnp.concatenate(dpw_parts, axis=0)
+    drel = jnp.concatenate(drel_parts, axis=0)
+
+    # ---- LayerNorm input backward, one fused XLA pass over x and dy ----
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + ln_eps)
+    xn = (xf - mean) * inv
+    gamma = ln_scale.astype(jnp.float32)
+    dls = jnp.sum(dy_f32 * xn, axis=(0, 1, 2, 3))
+    dlb = jnp.sum(dy_f32, axis=(0, 1, 2, 3))
+    dxn = dy_f32 * gamma
+    dx = inv * (dxn - jnp.mean(dxn, axis=-1, keepdims=True)
+                - xn * jnp.mean(dxn * xn, axis=-1, keepdims=True))
 
     d_proj_b = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3))
-    return (dx,
+    return (dx.astype(x.dtype),
             dls.astype(ln_scale.dtype),
             dlb.astype(ln_bias.dtype),
             dqkvw.astype(qkv_w.dtype),
@@ -446,23 +556,23 @@ def _pallas_bwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
             jnp.zeros_like(mask))
 
 
-#: Largest clip count the fused backward kernel may serve. The kernel needs
-#: a raised scoped-vmem budget (25.35 MB at C=512), and on this backend a
-#: raised budget combined with a large grid reproducibly faults the TPU
-#: worker (bisected on-chip: 36-clip train steps run, 48-clip ones fault
-#: with ANY raised budget while running clean with the default budget).
-#: Above the threshold the backward transparently falls back to
-#: differentiating the XLA-equivalent computation, which needs no raise.
-PALLAS_BWD_MAX_CLIPS = 40
+#: Route the window-attention backward through the XLA recompute VJP instead
+#: of the fused Pallas kernels. Read ONCE at import: jit memoizes traces, so
+#: flipping the env var after the first backward compile would silently have
+#: no effect anyway — set it before importing lrce_tpu (tests monkeypatch
+#: the module attribute instead).
+XLA_BWD = bool(__import__("os").environ.get("LRCE_TPU_XLA_BWD"))
 
 
 def _bwd(window, num_heads, ln_eps, interpret, res, g):
-    import os
-
-    use_pallas = not os.environ.get("LRCE_TPU_XLA_BWD")
-    if use_pallas and not interpret and res[0].shape[0] > PALLAS_BWD_MAX_CLIPS:
-        use_pallas = False
-    if not use_pallas:
+    # f32 activations at C=128 cannot be made to fit the default budget:
+    # the live set is ~2x the bf16 one (itself at the 16 MB edge) and
+    # sub-128-lane chunks crash Mosaic, so chunking cannot shrink it
+    # further. Route just that call through the XLA recompute VJP — no
+    # raised budget anywhere, at any clip count.
+    f32_small = (not interpret and res[0].dtype.itemsize > 2
+                 and res[0].shape[-1] < 256)
+    if XLA_BWD or f32_small:
         # Backward through the XLA-equivalent computation (recompute fwd).
         def f(*args):
             return _xla_equivalent(*args, window=window, num_heads=num_heads,

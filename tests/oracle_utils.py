@@ -41,9 +41,10 @@ class TorchE2EOracle(tnn.Module):
         self.summarization_token = tnn.Parameter(torch.randn(1, 1, dim))
         self.final_fc = tnn.Linear(dim, num_classes)
 
-    def forward(self, clips, ids, mask, types):
-        # clips: (B, n_clips, T, C, H, W)
-        b = clips.shape[0]
+    def _video_feats(self, clips):
+        """clips (B, n_clips, T, C, H, W) -> pos-embedded video tokens
+        (B, S, T'*(1+hw), dim) (reference video.py:28-43, embedding.py:26-63,
+        fusionv3.py:184-193)."""
         mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
         std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
         feats = []
@@ -54,25 +55,65 @@ class TorchE2EOracle(tnn.Module):
             feats.append(f.permute(0, 2, 3, 4, 1).reshape(bq, dp, hp * wp, cd))
         video = torch.stack(feats, dim=1)
 
-        text = self.bert(input_ids=ids, attention_mask=mask,
-                         token_type_ids=types).last_hidden_state
-
         video = self.projection_layer(video)
         bb, s, tt, hw, _ = video.shape
         video = torch.cat([self.v_cls.expand(bb, s, tt, -1, -1), video], 3)
         video = video + self.v_pos.expand(bb, s, tt, -1, -1)
         video = video + self.v_len.expand(bb, s, -1, 1 + hw, -1)
         video = video + self.v_clip.expand(bb, -1, tt, 1 + hw, -1)
-        video = self.v_ln(video).view(bb, s, tt * (1 + hw), -1)
+        return self.v_ln(video).view(bb, s, tt * (1 + hw), -1)
 
+    def _text_feats(self, ids, mask, types):
+        """(B', L) token ids -> pos-embedded text tokens (B', 1+L, dim)."""
+        text = self.bert(input_ids=ids, attention_mask=mask,
+                         token_type_ids=types).last_hidden_state
+        bb = text.shape[0]
         text = torch.cat([self.q_cls.expand(bb, -1, -1), text], 1)
-        text = self.q_ln(text + self.q_pos.expand(bb, -1, -1))
+        return self.q_ln(text + self.q_pos.expand(bb, -1, -1))
 
+    def _fuse(self, video, text):
+        """Recurrent fusion over scales -> summarized token (B', 1, dim)."""
+        bb, s = video.shape[0], video.shape[1]
         token = self.summarization_token.expand(bb, -1, -1)
         for i in range(s):
             mem = torch.cat([video[:, i], text], dim=1)
             token = self.fusion_layer_norm(token + self.transformer(token, mem))
+        return token
+
+    def forward(self, clips, ids, mask, types):
+        video = self._video_feats(clips)
+        text = self._text_feats(ids, mask, types)
+        token = self._fuse(video, text)
         return self.final_fc(token.squeeze(1))
+
+
+class TorchE2EMCOracle(TorchE2EOracle):
+    """Reference multiple-choice composition (reference lrce/models/e2e.py:
+    53-81, fusionv3.py:201-265): the 5 QA pairs flatten (B,5,L)->(B*5,L)
+    through BERT and the question pos-embed; the video tokens are
+    pos-embedded per ORIGINAL batch row, then expanded x5 before fusion;
+    the dim->1 head reshapes to (B, 5) choice logits."""
+
+    def forward(self, clips, ids, mask, types):
+        b, total_mc, _ = ids.shape
+        video = self._video_feats(clips)              # (B, S, seq, dim)
+        text = self._text_feats(ids.flatten(0, 1), mask.flatten(0, 1),
+                                types.flatten(0, 1))  # (B*5, 1+L, dim)
+        video = video.unsqueeze(1).expand(
+            -1, total_mc, -1, -1, -1).flatten(0, 1)   # (B*5, S, seq, dim)
+        token = self._fuse(video, text)
+        out = self.final_fc(token.squeeze(1))         # (B*5, 1)
+        return out.view(b, total_mc)
+
+
+class TorchE2ECountOracle(TorchE2EOracle):
+    """Reference count composition (reference fusionv3.py:336-369): the
+    open-ended forward with a forced single-neuron head, ReLU, flattened
+    to (B,)."""
+
+    def forward(self, clips, ids, mask, types):
+        out = super().forward(clips, ids, mask, types)
+        return torch.relu(out.view(clips.shape[0]))
 
 
 def build_reference_named_state_dict(oracle, numpy=True):

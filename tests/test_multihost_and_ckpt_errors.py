@@ -62,6 +62,89 @@ def test_multihost_failure_is_loud(monkeypatch):
         M.initialize_multihost()
 
 
+_DCN_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+# The environment's site hook force-registers the axon TPU plugin and
+# overrides JAX_PLATFORMS; pin the cpu platform via config (env alone is
+# not enough) BEFORE the rendezvous, like tests/conftest.py does.
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from lrce_tpu.parallel.mesh import initialize_multihost
+initialize_multihost()  # must run BEFORE any backend-initializing JAX API
+
+import numpy as np
+import jax.numpy as jnp
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.process_index() == int(os.environ["JAX_PROCESS_ID"])
+
+# One real cross-process collective over the rendezvous'd cluster: build a
+# global array with one shard per process and psum it inside jit — the same
+# GSPMD pattern the train step's gradient all-reduce uses.
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+devs = jax.devices()
+assert len(devs) == 2, devs  # 1 cpu device per process, 2 global
+mesh = Mesh(np.asarray(devs), ("data",))
+sharding = NamedSharding(mesh, P("data"))
+local = np.array([[float(jax.process_index() + 1)]])
+garr = jax.make_array_from_process_local_data(sharding, local, (2, 1))
+total = jax.jit(lambda a: jnp.sum(a),
+                out_shardings=NamedSharding(mesh, P()))(garr)
+# addressable on every process (replicated output)
+assert float(total.addressable_data(0)) == 3.0, total
+print("DCN_OK", jax.process_index(), flush=True)
+"""
+
+
+def test_dcn_rendezvous_two_processes_psum(tmp_path):
+    """The multi-host path executed FOR REAL: two local processes
+    rendezvous through jax.distributed.initialize over a localhost
+    coordinator (the reference's MASTER_ADDR/RANK/WORLD_SIZE contract,
+    reference train.py:10-13), then run a cross-process psum through
+    GSPMD — the collective the production train step relies on."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = tmp_path / "dcn_child.py"
+    script.write_text(_DCN_CHILD.format(repo=repo))
+
+    procs = []
+    for pid in range(2):
+        env = dict(_os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [_sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"DCN_OK {pid}" in out, out
+
+
 def test_corrupt_native_checkpoint_reports_corruption(tmp_path):
     path = str(tmp_path / "ckpt.pt")
     good = {"model_state_dict": {"w": np.zeros((2, 2), np.float32)}}

@@ -183,6 +183,51 @@ def test_get_video_clips_native_avi(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def _write_mp4v(path, n_frames=100, size=(64, 48)):
+    """An INTER-codec fixture (MPEG-4 part 2, cv2's default mp4 encoder
+    here, GOP ~12): packets reference previous frames, so the native
+    decoder's keyframe-seek plan — not the intra-only packet skipping —
+    serves sampled fetches."""
+    import cv2
+
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 25, size)
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:size[1], 0:size[0]].astype(np.float32)
+    for t in range(n_frames):
+        img = (128 + 100 * np.sin(xx / 9 + t / 2)
+               * np.cos(yy / 7 - t / 3)).astype(np.uint8)
+        w.write(np.stack([img, np.roll(img, t, 1), 255 - img], -1))
+    w.release()
+
+
+@needs_video
+def test_video_mp4_seek_decode_byte_exact_with_cv2(tmp_path):
+    """Inter-codec (.mp4 — the MSRVTT container) sampled decode routes
+    through the keyframe-seek plan (native/video.cpp decode_with_seeks):
+    only GOP segments containing sampled frames decode, vs the reference
+    decoding every frame up to the max sampled index
+    (reference lrce/dataset/e2e_dataset.py:76-84). Sync-sample decode is
+    deterministic, so the output must stay byte-identical with cv2's
+    linear read — including duplicate indices and the final frame."""
+    import os
+
+    from lrce_tpu.data import video_decode as VD
+
+    path = tmp_path / "v.mp4"
+    _write_mp4v(path)
+    n, w, h = native.video_probe(str(path))
+    assert (n, w, h) == (100, 64, 48)
+
+    idx = np.array([0, 3, 17, 17, 40, 77, 99])
+    got = VD.decode_sampled_frames(str(path), idx, (32, 36))
+    os.environ["LRCE_TPU_DISABLE_NATIVE"] = "1"
+    try:
+        ref = VD.decode_sampled_frames(str(path), idx, (32, 36))
+    finally:
+        del os.environ["LRCE_TPU_DISABLE_NATIVE"]
+    np.testing.assert_array_equal(got, ref)
+
+
 @needs_video
 def test_native_failure_recounts_with_cv2(tmp_path, monkeypatch):
     """When the native probe's count disagrees with what native decode can

@@ -102,30 +102,33 @@ def test_custom_vjp_matches_xla_grad(shifted):
                                    err_msg=f"grad argnum {i}")
 
 
-def test_bwd_auto_fallback_above_clip_threshold(monkeypatch):
-    """Above PALLAS_BWD_MAX_CLIPS the backward must route to the XLA
-    recompute path even with interpret=False (the fused kernel's raised
-    scoped-vmem budget faults the TPU worker on large grids, bisected
-    on-chip). On the CPU backend a real pallas_call would error, so this
-    grad succeeding proves the fallback took the XLA path."""
-    monkeypatch.setattr(PW, "PALLAS_BWD_MAX_CLIPS", 1)
-    inputs, window, heads = setup_case(b=2, shifted=False)
+@pytest.mark.parametrize("chunks,wgroups", [(2, 1), (4, 1), (1, 2), (2, 2)])
+def test_bwd_head_chunking_matches_xla_grad(chunks, wgroups):
+    """The head-chunked / window-grouped backward (the production
+    configurations: head chunks at C>=256, window groups at C=128 — both
+    keep every program under the 16 MB default scoped-vmem budget) must
+    produce the same gradients as the unchunked path and XLA."""
+    inputs, window, heads = setup_case(w=6, shifted=True, seed=6)
+    g = jax.grad(lambda *a: jnp.sum(jnp.sin(PW.fused_window_attention(
+        *a, window, heads, 1e-5, True))), argnums=tuple(range(8)))(*inputs)
 
-    # call _bwd directly: residuals are the primal inputs
-    g = jnp.ones(inputs[0].shape, inputs[0].dtype)
-    grads = PW._bwd(window, heads, 1e-5, False, inputs, g)
-    assert len(grads) == 9
-    ref = jax.grad(
-        lambda x: jnp.sum(PW._xla_equivalent(
-            x, *inputs[1:], window=window, num_heads=heads, ln_eps=1e-5)))(
-        inputs[0])
-    np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
+    gc = PW._pallas_bwd_impl(
+        *inputs, jnp.cos(PW._xla_equivalent(
+            *inputs, window=window, num_heads=heads, ln_eps=1e-5)),
+        window=window, num_heads=heads, ln_eps=1e-5, interpret=True,
+        chunks=chunks, wgroups=wgroups)
+    for i, (a, b) in enumerate(zip(g, gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2.5e-3, atol=2.5e-3,
+                                   err_msg=f"grad argnum {i}")
 
 
-def test_custom_vjp_xla_fallback_env(monkeypatch):
-    """LRCE_TPU_XLA_BWD=1 must route the backward through the XLA recompute
-    path and produce (tightly) matching gradients."""
+def test_custom_vjp_xla_fallback_flag(monkeypatch):
+    """XLA_BWD=True (set by LRCE_TPU_XLA_BWD=1 at import — read once, since
+    jit memoizes traces) must route the backward through the XLA recompute
+    path and produce (tightly) matching gradients. interpret=False on the
+    CPU backend would error in a real pallas_call, so the grad succeeding
+    under the flag also proves the routing."""
     inputs, window, heads = setup_case(b=1, d=2, h=3, w=3, c=32, heads=2,
                                        window=(2, 3, 3), shifted=False)
 
@@ -134,11 +137,15 @@ def test_custom_vjp_xla_fallback_env(monkeypatch):
         return jnp.sum(out * out)
 
     g_pallas = jax.grad(loss, argnums=(0, 1, 3))(*inputs)
-    monkeypatch.setenv("LRCE_TPU_XLA_BWD", "1")
+    monkeypatch.setattr(PW, "XLA_BWD", True)
     g_xla = jax.grad(loss, argnums=(0, 1, 3))(*inputs)
     for a, b in zip(g_pallas, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2.5e-3, atol=2.5e-3)
+
+    g = jnp.ones(inputs[0].shape, inputs[0].dtype)
+    grads = PW._bwd(window, heads, 1e-5, False, inputs, g)  # no interpret
+    assert len(grads) == 9
 
 
 def test_bwd_blocking_odd_head_head_counts():

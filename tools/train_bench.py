@@ -1,0 +1,128 @@
+"""Flagship train-step benchmark on the live chip.
+
+Times the REAL jitted training step (Swin-B + BERT-base + LRCE fusion,
+fwd + loss + bwd + 3-group AdamW; the same step train.py runs — reference
+train loop: lrce/agent/agent_base.py:117-178) at a given per-chip batch, in
+three regimes:
+
+  device   — batch pre-placed in HBM: the pure step time the input pipeline
+             must keep fed;
+  wall     — per-step host->device placement of a uint8 batch (what a
+             prefetch-less loop pays);
+  prefetch — host batches fed through data.prefetch.device_prefetch, the
+             path process_data actually runs (agent.py:237-239): transfer
+             of batch N+1 overlaps step N's compute, so this should sit
+             within ~10% of the device regime.
+
+Feeds PERF.md's training table. Remat is ON by default (required for
+batch > 8 on 16G HBM; LRCE_TPU_SWIN_REMAT is set before model import).
+
+Usage: python tools/train_bench.py [--batch 16] [--iters 10] [--no-remat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--reg", type=float, default=0.0,
+                   help="reg_strength (paper configs use 0.001)")
+    args = p.parse_args(argv)
+
+    if not args.no_remat:
+        os.environ["LRCE_TPU_SWIN_REMAT"] = "1"
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from lrce_tpu.models import e2e as E
+    from lrce_tpu.models import swin3d as S
+    from lrce_tpu.train.agent import AgentOE
+
+    swin = S.SWIN_BASE._replace(remat=not args.no_remat)
+    cfg = E.E2EConfig(num_classes=1000, temporal_scale=(3,), text_seq_len=32,
+                      swin=swin)
+    params = E.e2e_init_jit(jax.random.PRNGKey(0), cfg)
+
+    ns = argparse.Namespace(
+        dataset="bench", log_dir="/tmp/lrce_train_bench", ckpt_interval=100,
+        batch_size=args.batch, eval_per_epoch=1, epoch=1, drop_out_rate=0.1,
+        lr=[5e-5] * 3, min_lr=1e-8, temporal_scale=[3],
+        lr_decay_factor=0.5, lr_warm_up=0.1, lr_restart_epoch=2,
+        lr_restart_mul=1, use_cosine_scheduler=True,
+        reg_strength=args.reg, num_workers=0, use_hinge_loss=False,
+        debug_mode=True, sanity_check=False)
+    agent = AgentOE(cfg, params, ns, log_enabled=False)
+
+    b = args.batch
+    rng = np.random.RandomState(0)
+    host_batch = (
+        rng.randint(0, 256, (b, 3, 5, 224, 224, 3)).astype(np.uint8),
+        rng.randint(0, 30522, (b, 32)).astype(np.int32),
+        np.ones((b, 32), np.int32),
+        np.zeros((b, 32), np.int32),
+        rng.randint(0, 1000, (b,)).astype(np.int32),
+    )
+
+    t0 = time.perf_counter()
+    loss, *_ = agent.step(*host_batch, is_train=True)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+          f"loss={loss:.4f}", flush=True)
+    assert np.isfinite(loss)
+
+    # wall regime: host batch placed every step
+    for _ in range(2):
+        agent.step(*host_batch, is_train=True)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        agent.step(*host_batch, is_train=True)
+    wall = (time.perf_counter() - t0) / args.iters
+
+    # prefetch regime: the real process_data input path — host batches
+    # double-buffered onto the device while the previous step computes
+    from lrce_tpu.data.prefetch import device_prefetch
+
+    def feed(k):
+        for _ in range(k):
+            yield host_batch
+
+    warm = device_prefetch(feed(2))
+    for dev_b in warm:
+        agent.step(*dev_b, is_train=True)
+    t0 = time.perf_counter()
+    for dev_b in device_prefetch(feed(args.iters)):
+        agent.step(*dev_b, is_train=True)
+    pref = (time.perf_counter() - t0) / args.iters
+
+    # device regime: batch pre-placed once
+    dev_batch = tuple(jnp.asarray(a) for a in host_batch)
+    jax.block_until_ready(dev_batch)
+    for _ in range(2):
+        agent.step(*dev_batch, is_train=True)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        agent.step(*dev_batch, is_train=True)
+    dev = (time.perf_counter() - t0) / args.iters
+
+    clips = 3 * b
+    print(f"batch {b} ({clips} clips), remat={not args.no_remat}, "
+          f"reg={args.reg}")
+    print(f"  wall step:     {wall * 1000:7.1f} ms  {clips / wall:7.1f} clips/s")
+    print(f"  prefetch step: {pref * 1000:7.1f} ms  {clips / pref:7.1f} clips/s")
+    print(f"  device step:   {dev * 1000:7.1f} ms  {clips / dev:7.1f} clips/s")
+
+
+if __name__ == "__main__":
+    main()
