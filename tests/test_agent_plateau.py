@@ -3,6 +3,7 @@ non-cosine path, agent_base.py:66-73,169-170) and the count agent's
 negated-metric plateau stepping (agent_count.py:107-108)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -12,6 +13,7 @@ from lrce_tpu.train.agent import AgentCount, AgentOE
 from test_agent_training import ListLoader, make_args, synth_batch, tiny_cfg
 
 
+@pytest.mark.slow
 def test_plateau_training_decays_lr(tmp_path):
     cfg = tiny_cfg("oe")
     params = E.e2e_init(jax.random.PRNGKey(0), cfg)
@@ -29,6 +31,7 @@ def test_plateau_training_decays_lr(tmp_path):
     assert agent.lrs[1] / agent.lrs[0] == 2.0
 
 
+@pytest.mark.slow
 def test_count_plateau_uses_negated_mse(tmp_path):
     cfg = tiny_cfg("count", num_classes=1)
     params = E.e2e_init(jax.random.PRNGKey(0), cfg)

@@ -89,6 +89,7 @@ def test_oe_agent_overfits_batch():
     assert correct == total  # memorized
 
 
+@pytest.mark.slow
 def test_mid_epoch_validation_and_best_ckpt(tmp_path):
     cfg = tiny_cfg("oe")
     params = E.e2e_init(jax.random.PRNGKey(0), cfg)
@@ -107,6 +108,7 @@ def test_mid_epoch_validation_and_best_ckpt(tmp_path):
     assert agent.best_metric_val is not None
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_cfg("oe")
     params = E.e2e_init(jax.random.PRNGKey(0), cfg)
@@ -128,6 +130,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(before), float(after), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_state_checkpoint_resume(tmp_path):
     """--save-full-state must checkpoint optimizer + scheduler state and
     restore them on resume (TPU-side addition: the reference defined this
@@ -186,6 +189,7 @@ def test_count_agent_metrics():
     assert agent.metric_lower_better
 
 
+@pytest.mark.slow
 def test_mc_agent_hinge():
     cfg = tiny_cfg("mc", num_classes=1)
     params = E.e2e_init(jax.random.PRNGKey(0), cfg)
@@ -228,6 +232,7 @@ def test_cross_entropy_ignore_index_matches_torch():
     assert got == pytest.approx(ref, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_data_parallel_mesh_step():
     """Same batch through a 1-device and an 8-device mesh must agree."""
     from jax.sharding import Mesh

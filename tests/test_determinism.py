@@ -3,6 +3,7 @@ trajectories (deterministic PRNG threading through dropout/drop-path,
 SURVEY §5.2's guidance for what the reference lacks)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -26,12 +27,14 @@ def run_losses(seed):
     return losses
 
 
+@pytest.mark.slow
 def test_same_seed_same_trajectory():
     a = run_losses(seed=7)
     b = run_losses(seed=7)
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_different_seed_different_dropout():
     a = run_losses(seed=7)
     c = run_losses(seed=8)

@@ -53,6 +53,7 @@ def test_e2e_forward_shapes(task, out_shape):
         assert (np.asarray(out) >= 0).all()
 
 
+@pytest.mark.slow
 def test_e2e_jit_and_grad():
     cfg = tiny_cfg("oe")
     params = E.e2e_init(jax.random.PRNGKey(0), cfg)

@@ -26,6 +26,7 @@ def test_dryrun_multichip_2():
     _load_graft().dryrun_multichip(2)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_without_conftest_env():
     """Driver-environment regression test (round-1 MULTICHIP failure).
 

@@ -40,6 +40,7 @@ def test_sharding_rules_hit_big_matrices():
     assert all(s.spec == P() for s in vid_leaves)
 
 
+@pytest.mark.slow
 def test_tp_numerics_match_single_device():
     from lrce_tpu.train.agent import AgentOE
 

@@ -42,6 +42,7 @@ def test_extract_frames_tool(gif_dir, tmp_path):
     assert bank[idx].shape == (2, 5, 16, 16, 3)
 
 
+@pytest.mark.slow
 def test_flops_tool_runs_and_shows_linear_vs_quadratic():
     from tools.flops import main
 
