@@ -320,15 +320,41 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
         if mask is not None:
             mask5 = mask.reshape(nd, nh, nw, n, n)
         else:
-            mask5 = jnp.zeros((nd, nh, nw, n, n), jnp.float32)
+            # scalar sentinel: the fused kernels skip the mask add and its
+            # per-program HBM stream for unshifted blocks (half the blocks)
+            mask5 = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
         rel_bias = p["attn"]["rel_table"].astype(jnp.float32)[rel_index]
         rel_bias = rel_bias.transpose(2, 0, 1)  # (nH, N, N)
         from lrce_tpu.ops.pallas_window_attn import (
             fused_window_attention, fused_window_attention_hsplit)
 
+        dt = y.dtype
+        dp_inactive = deterministic or (isinstance(dp_rate, (int, float))
+                                        and dp_rate == 0)
+        if use_pallas == "full" and dp_inactive:
+            # Whole-block fusion: LN1+attn+proj+residual+LN2+MLP+residual in
+            # ONE kernel — the activation crosses HBM twice per block instead
+            # of six times (this backend is bandwidth-bound; PERF.md). Every
+            # op after window-reverse is per-token, so the full block
+            # commutes with the cyclic roll; drop_path must be inactive
+            # (eval, or this block's dp_rate == 0).
+            from lrce_tpu.ops.pallas_swin_block import fused_swin_block
+
+            y = fused_swin_block(
+                y, p["norm1"]["scale"], p["norm1"]["bias"],
+                p["attn"]["qkv"]["w"].astype(dt), p["attn"]["qkv"]["b"],
+                p["attn"]["proj"]["w"].astype(dt), p["attn"]["proj"]["b"],
+                rel_bias, mask5,
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                p["mlp"]["fc1"]["w"].astype(dt), p["mlp"]["fc1"]["b"],
+                p["mlp"]["fc2"]["w"].astype(dt), p["mlp"]["fc2"]["b"],
+                window, num_heads, LN_EPS)
+            if shifted:
+                y = jnp.roll(y, shift=shift, axis=(1, 2, 3))
+            return y
+
         attn_fn = (fused_window_attention_hsplit if use_pallas == "hsplit"
                    else fused_window_attention)
-        dt = y.dtype
         y = attn_fn(
             y, p["norm1"]["scale"], p["norm1"]["bias"],
             p["attn"]["qkv"]["w"].astype(dt), p["attn"]["qkv"]["b"],

@@ -1,0 +1,228 @@
+"""Pallas fused WHOLE Swin block: LN1 + window attention + proj + residual
++ LN2 + MLP + residual in ONE VMEM-resident program.
+
+Why: this backend's measured effective HBM bandwidth is low (~110-180 GB/s
+for a jitted elementwise pass — see PERF.md "Bandwidth"), so the C<=512
+Swin stages are bandwidth-bound: the decomposed path (fused-attention
+kernel + residual add + fused-MLP kernel) moves the full activation tensor
+through HBM six times per block. This kernel moves it twice — one read, one
+write — computing
+
+    h  = x + proj(attn(LN1(x)))          # window attention on x's tile
+    out = h + fc2(gelu(fc1(LN2(h))))     # per-token MLP
+
+entirely in VMEM. Everything after window-reverse is per-token, so the
+whole block commutes with the cyclic shift roll: shifted blocks run the
+kernel on the pre-rolled tensor and roll back afterwards, exactly like the
+attention-only kernel (lrce_tpu/models/swin3d.py swin_block).
+
+Backward differentiates the decomposed composition (fused_window_attention
+keeps its hand-written Pallas VJP; the MLP backward is XLA), so training
+can route through this op wherever drop_path is inactive.
+
+Reference behavior being fused: one SwinTransformerBlock3D forward
+(reference lrce/feature_extractor/video_swin_ori.py:248-306).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    PALLAS_AVAILABLE = False
+
+from lrce_tpu.ops.pallas_mlp import _erf_f32
+from lrce_tpu.ops import pallas_window_attn as PWA
+
+
+_ln_f32 = PWA._ln_mxu  # LayerNorm with MXU lane sums (see pallas_window_attn)
+
+
+def _block_kernel(x_ref, ln1s_ref, ln1b_ref, qkv_w_ref, qkv_b_ref,
+                  proj_w_ref, proj_b_ref, bias_ref, mask_ref,
+                  ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  out_ref, *, window: Tuple[int, int, int], num_heads: int,
+                  ln_eps: float, kh_rows: int, has_mask: bool,
+                  ff_chunks: int):
+    wd, wh, ww = window
+    n = wd * wh * ww
+    x = x_ref[0]                       # (wd, kh*wh, Wp, C)
+    _, _, wp, c = x.shape
+    nw = wp // ww
+    nwin = kh_rows * nw
+    dt = x.dtype
+    scale = 1.0 / math.sqrt(c // num_heads)
+
+    # ---- LN1 + window partition + qkv ----
+    y = _ln_f32(x, ln1s_ref, ln1b_ref, ln_eps)
+    y = y.reshape(wd, kh_rows, wh, nw, ww, c)
+    y = y.transpose(1, 3, 0, 2, 4, 5).reshape(nwin, n, c)
+    qkv = jnp.dot(y.reshape(nwin * n, c), qkv_w_ref[:].astype(dt),
+                  preferred_element_type=jnp.float32)
+    qkv = (qkv + qkv_b_ref[:].astype(jnp.float32)).astype(dt)
+    qkv = qkv.reshape(nwin, n, 3 * c)
+
+    mask = (mask_ref[0].reshape(nwin, n, n).astype(jnp.float32)
+            if has_mask else None)
+    ctx = PWA._attn_ctx(qkv, bias_ref, mask, num_heads, c, scale, dt)
+    ctx = ctx.reshape(nwin * n, c)
+
+    attn = jnp.dot(ctx, proj_w_ref[:].astype(dt),
+                   preferred_element_type=jnp.float32)
+    attn = (attn + proj_b_ref[:].astype(jnp.float32)).astype(dt)
+
+    # window reverse into x layout, then residual (dt adds, matching the
+    # decomposed path's shortcut + attn)
+    attn = attn.reshape(kh_rows, nw, wd, wh, ww, c).transpose(2, 0, 3, 1, 4, 5)
+    h1 = x + attn.reshape(wd, kh_rows * wh, wp, c)
+
+    # ---- LN2 + MLP + residual ----
+    z = _ln_f32(h1, ln2s_ref, ln2b_ref, ln_eps).reshape(wd * kh_rows * wh * wp,
+                                                        c)
+    ff = w1_ref.shape[1]
+    fc = ff // ff_chunks
+    # FF column chunking bounds the f32 gelu transient (tokens, ff) — the
+    # largest live tensor at C=512 — under the 16 MB default scoped-vmem
+    # budget; fc2 partial products accumulate in f32.
+    out = None
+    for i in range(ff_chunks):
+        hmid = jnp.dot(z, w1_ref[:, i * fc:(i + 1) * fc],
+                       preferred_element_type=jnp.float32)
+        hmid = hmid + b1_ref[i * fc:(i + 1) * fc].astype(jnp.float32)
+        hmid = hmid * 0.5 * (1.0 + _erf_f32(hmid * (1.0 / math.sqrt(2.0))))
+        part = jnp.dot(hmid.astype(dt), w2_ref[i * fc:(i + 1) * fc, :],
+                       preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
+    out = out + b2_ref[:].astype(jnp.float32)
+    out = h1.reshape(-1, c).astype(jnp.float32) + out   # f32 residual, like
+    out_ref[0] = out.astype(dt).reshape(x.shape)        # ops/pallas_mlp.py
+
+
+def _pick_ff_chunks(c: int, dtype) -> int:
+    """The f32 gelu transient is (tokens_per_program, 4C); at C=512 with
+    kh_rows=1 that is (441, 2048) f32 = 3.6 MB on top of qkv weights (1.5
+    MB), MLP weights (4 MB) and the attention transients — chunking the FF
+    axis in 2 keeps the program under the 16 MB default budget (a raised
+    budget faults this backend's TPU worker on large grids, PERF.md)."""
+    f32 = jnp.dtype(dtype).itemsize > 2
+    if c >= 512:
+        return 4 if f32 else 2
+    return 2 if f32 else 1
+
+
+def _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
+                    mask, ln2s, ln2b, w1, b1, w2, b2, *, window, num_heads,
+                    ln_eps, interpret, kh_rows=None, ff_chunks=None):
+    b, d, h, w_, c = x.shape
+    wd, wh, ww = window
+    nd, nh, nw = d // wd, h // wh, w_ // ww
+    n = wd * wh * ww
+    kh = kh_rows if kh_rows is not None else PWA._pick_kh_rows(c, nh, x.dtype)
+    if nh % kh != 0:
+        kh = 1
+    ffc = ff_chunks if ff_chunks is not None else _pick_ff_chunks(c, x.dtype)
+    ff = w1.shape[1]
+    while ff % ffc:
+        ffc -= 1
+
+    grid = (b, nd, nh // kh)
+    has_mask = mask.ndim == 5 and mask.shape[-1] == n
+    if has_mask and x.dtype == jnp.bfloat16:
+        mask = mask.astype(jnp.bfloat16)
+    mask_spec = (pl.BlockSpec((1, kh, nw, n, n),
+                              lambda bi, di, hi: (di, hi, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if has_mask
+                 else pl.BlockSpec(memory_space=pltpu.VMEM))
+    kernel = functools.partial(_block_kernel, window=window,
+                               num_heads=num_heads, ln_eps=ln_eps,
+                               kh_rows=kh, has_mask=has_mask, ff_chunks=ffc)
+    tokens = b * d * h * w_
+    flops = (2 * tokens * c * 4 * c                       # qkv + proj
+             + 2 * tokens * 2 * n * c                     # QK^T + PV
+             + 2 * tokens * c * ff * 2)                   # fc1 + fc2
+    block = pl.BlockSpec((1, wd, kh * wh, w_, c),
+                         lambda bi, di, hi: (bi, di, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block] + [full] * 7 + [mask_spec] + [full] * 6,
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4,
+            transcendentals=b * nd * nh * nw * n * n + tokens * ff),
+        # Raised scoped-vmem budget ONLY for f32 parity runs (small batch);
+        # bf16 fits the 16 MB default, and a raised budget on large-grid
+        # bf16 programs faults this backend's TPU worker (PERF.md).
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
+                         if not interpret and x.dtype == jnp.float32
+                         else None),
+        interpret=interpret,
+    )(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
+      ln2s, ln2b, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+def fused_swin_block(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
+                     mask, ln2s, ln2b, w1, b1, w2, b2, window, num_heads,
+                     ln_eps=1e-5, interpret=False):
+    """Whole Swin block (attention sub-block + MLP sub-block, both
+    residuals) on a pre-rolled, pre-padded (B, D, H, W, C) tensor.
+
+    mask: (nd, nh, nw, N, N) additive, or a (1, 1, 1, 1, 1) scalar sentinel
+    for unshifted blocks. Weights in the conventions of
+    fused_window_attention / fused_mlp, pre-cast to the activation dtype.
+    drop_path must be inactive (eval, or dp_rate == 0).
+    """
+    return _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b,
+                           rel_bias, mask, ln2s, ln2b, w1, b1, w2, b2,
+                           window=window, num_heads=num_heads, ln_eps=ln_eps,
+                           interpret=interpret)
+
+
+def _decomposed(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
+                ln2s, ln2b, w1, b1, w2, b2, *, window, num_heads, ln_eps,
+                interpret):
+    """The block as the existing ops compose it: fused_window_attention
+    (hand-written Pallas VJP) + dt residual + the XLA MLP. Used for the
+    backward pass and as the interpret-mode/test oracle."""
+    from lrce_tpu.ops.pallas_mlp import _xla_equivalent as mlp_ref
+
+    a = PWA.fused_window_attention(x, ln1s, ln1b, qkv_w, qkv_b, proj_w,
+                                   proj_b, rel_bias, mask, window, num_heads,
+                                   ln_eps, interpret)
+    h1 = x + a
+    return mlp_ref(h1, ln2s, ln2b, w1, b1, w2, b2, ln_eps=ln_eps)
+
+
+def _block_fwd(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
+               ln2s, ln2b, w1, b1, w2, b2, window, num_heads, ln_eps,
+               interpret):
+    out = _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b,
+                          rel_bias, mask, ln2s, ln2b, w1, b1, w2, b2,
+                          window=window, num_heads=num_heads, ln_eps=ln_eps,
+                          interpret=interpret)
+    return out, (x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
+                 ln2s, ln2b, w1, b1, w2, b2)
+
+
+def _block_bwd(window, num_heads, ln_eps, interpret, res, g):
+    f = functools.partial(_decomposed, window=window, num_heads=num_heads,
+                          ln_eps=ln_eps, interpret=interpret)
+    _, vjp = jax.vjp(f, *res)
+    return vjp(g)
+
+
+fused_swin_block.defvjp(_block_fwd, _block_bwd)

@@ -46,10 +46,100 @@ except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
 
+def _lane_sum(t):
+    """Sum over the minor (lane) dim via a bf16 MXU matmul against ones,
+    f32 accumulation.
+
+    On this backend a VPU lane-reduction is a ~log2(lanes) shuffle-add
+    chain that costs several elementwise passes over the operand (measured:
+    the two LayerNorm reductions alone cost ~1.5 ms per stage0 apply),
+    while the MXU sits idle next to it. A bf16 (.., N) @ (N, 1) matmul
+    produces the sum in MXU silicon with f32 accumulation: EXACT for bf16
+    operands (the sum of the same bf16 values, just MXU-reassociated); for
+    f32 operands the bf16 cast rounds each element (callers gate on dtype
+    where that matters). An f32 MXU matmul is NOT a win here — it lowers to
+    a multi-pass decomposition that measured slower than the shuffle chain."""
+    tb = t.astype(jnp.bfloat16)
+    if t.ndim == 3:
+        # batched form: Mosaic cannot shape-cast a bf16 batch whose minor
+        # dim is not lane-aligned (e.g. (nwin, 147, 147)), so keep the
+        # batch dim explicit instead of letting the lowering collapse it
+        ones = jnp.ones((t.shape[0], t.shape[-1], 1), jnp.bfloat16)
+        return jax.lax.dot_general(
+            tb, ones, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    ones = jnp.ones((t.shape[-1], 1), jnp.bfloat16)
+    return jax.lax.dot_general(
+        tb, ones, (((t.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _ln_mxu(x, scale_ref, bias_ref, eps):
+    """LayerNorm over the minor dim, f32 math, output in x.dtype.
+
+    bf16 activations: the mean comes from an exact bf16 MXU lane sum (see
+    _lane_sum) — one reduction chain instead of two; the variance keeps the
+    f32 VPU reduction (an exact two-pass var; casting squared deviations to
+    bf16 would round them). f32 activations (parity/oracle runs) use the
+    original all-VPU reductions bit-for-bit."""
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        mean = _lane_sum(x) * (1.0 / c)
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+    d = xf - mean
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    y = d * jax.lax.rsqrt(var + eps)
+    return (y * scale_ref[:].astype(jnp.float32)
+            + bias_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+
+def _attn_ctx(qkv, bias_ref, mask, num_heads, c, scale, dt):
+    """Per-head window attention on packed (nwin, N, 3C) qkv -> (nwin, N, C)
+    context, head loop unrolled at trace time (Mosaic cannot split the lane
+    dim in registers, so heads are static lane slices). VPU economy in the
+    N^2 softmax region (N pads to lane multiples, so every full-matrix pass
+    costs ~1.74x its logical size at N=147):
+      - q is pre-scaled on the small (nwin, N, hd) slice, exactly like the
+        reference's `q = q * self.scale` (video_swin_ori.py:158-163),
+        instead of scaling the f32 logits matrix;
+      - the mask add (plus its HBM stream) disappears entirely for
+        unshifted blocks (mask=None);
+      - the softmax divide becomes a per-row reciprocal + broadcast
+        multiply (VPU divides are many-cycle; multiplies are one).
+    """
+    hd = c // num_heads
+    ctx_heads = []
+    for h in range(num_heads):
+        qh = qkv[:, :, h * hd:(h + 1) * hd] * scale        # (nwin, N, hd)
+        kh = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        vh = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (nwin, N, N)
+        add = bias_ref[h][None] if mask is None else bias_ref[h][None] + mask
+        logits = logits + add
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        if dt == jnp.bfloat16:
+            # MXU denominator (see _lane_sum): the bf16 cast rounds each
+            # exp term by <=2^-8 relative — the same order as the bf16
+            # rounding of the weights w themselves one line later.
+            r = 1.0 / _lane_sum(e)
+        else:
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        w = (e * r).astype(dt)
+        ctx_heads.append(jax.lax.dot_general(
+            w, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt))
+    return jnp.concatenate(ctx_heads, axis=-1)
+
+
 def _kernel(x_ref, ln_scale_ref, ln_bias_ref, qkv_w_ref, qkv_b_ref,
             proj_w_ref, proj_b_ref, bias_ref, mask_ref, out_ref, *,
             window: Tuple[int, int, int], num_heads: int, ln_eps: float,
-            kh_rows: int):
+            kh_rows: int, has_mask: bool):
     wd, wh, ww = window
     n = wd * wh * ww
     x = x_ref[0]  # (wd, kh_rows*wh, Wp, C) — kh_rows h-rows of windows
@@ -59,13 +149,8 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, qkv_w_ref, qkv_b_ref,
     hd = c // num_heads
     dt = x.dtype
 
-    # LayerNorm over C in f32
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
-    y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
-    y = y.astype(dt)
+    # LayerNorm over C in f32 (MXU lane sums)
+    y = _ln_mxu(x, ln_scale_ref, ln_bias_ref, ln_eps)
 
     # window partition: (wd, KH, wh, nw, ww, C) -> (KH*nw, N, C)
     y = y.reshape(wd, kh_rows, wh, nw, ww, c)
@@ -80,23 +165,10 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, qkv_w_ref, qkv_b_ref,
     qkv = qkv.reshape(nwin, n, 3 * c)
 
     scale = 1.0 / math.sqrt(hd)
-    mask = mask_ref[0].reshape(nwin, n, n)  # (KH, nw, N, N) flattened
-    ctx_heads = []
-    for h in range(num_heads):
-        qh = qkv[:, :, h * hd:(h + 1) * hd]                # (nwin, N, hd)
-        kh = qkv[:, :, c + h * hd:c + (h + 1) * hd]
-        vh = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        logits = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale    # (nwin, N, N)
-        logits = logits + bias_ref[h][None] + mask
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
-        ctx_heads.append(jax.lax.dot_general(
-            w, vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dt))
-    ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(nwin * n, c)
+    mask = (mask_ref[0].reshape(nwin, n, n).astype(jnp.float32)
+            if has_mask else None)
+    ctx = _attn_ctx(qkv, bias_ref, mask, num_heads, c, scale, dt)
+    ctx = ctx.reshape(nwin * n, c)
 
     out = jnp.dot(ctx, proj_w_ref[:].astype(dt),
                   preferred_element_type=jnp.float32)
@@ -128,10 +200,11 @@ def _xla_equivalent(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                         preferred_element_type=jnp.float32) / math.sqrt(hd)
     logits = logits + rel_bias[None]
-    n_windows = mask.shape[0] * mask.shape[1] * mask.shape[2]
-    mask_flat = mask.reshape(n_windows, n, n)
-    logits = (logits.reshape(b, n_windows, num_heads, n, n)
-              + mask_flat[None, :, None]).reshape(nb, num_heads, n, n)
+    if mask.ndim == 5 and mask.shape[-1] == n:  # scalar sentinel = unshifted
+        n_windows = mask.shape[0] * mask.shape[1] * mask.shape[2]
+        mask_flat = mask.reshape(n_windows, n, n).astype(jnp.float32)
+        logits = (logits.reshape(b, n_windows, num_heads, n, n)
+                  + mask_flat[None, :, None]).reshape(nb, num_heads, n, n)
     wts = jax.nn.softmax(logits, axis=-1).astype(dt)
     ctx = jnp.einsum("bhnm,bhmd->bhnd", wts, v,
                      preferred_element_type=jnp.float32).astype(dt)
@@ -164,8 +237,18 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
         kh = 1
 
     grid = (b, nd, nh // kh)
+    has_mask = mask.ndim == 5 and mask.shape[-1] == n
+    # Shift-mask values are exactly {0, -100}: bf16 represents them exactly,
+    # halving the per-program mask stream (the mask block is refetched every
+    # grid step whose (di, hi) changes).
+    if has_mask and x.dtype == jnp.bfloat16:
+        mask = mask.astype(jnp.bfloat16)
+    mask_spec = (pl.BlockSpec((1, kh, nw, n, n),
+                              lambda bi, di, hi: (di, hi, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if has_mask
+                 else pl.BlockSpec(memory_space=pltpu.VMEM))
     kernel = functools.partial(_kernel, window=window, num_heads=num_heads,
-                               ln_eps=ln_eps, kh_rows=kh)
+                               ln_eps=ln_eps, kh_rows=kh, has_mask=has_mask)
     flops = (2 * b * nd * nh * nw * n * c * 4 * c          # qkv + proj
              + 2 * b * nd * nh * nw * num_heads * n * n * (c // num_heads) * 2)
     return pl.pallas_call(
@@ -182,9 +265,7 @@ def _fused_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
             pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_b
             pl.BlockSpec(memory_space=pltpu.VMEM),  # rel_bias (nH, N, N)
-            pl.BlockSpec((1, kh, nw, n, n),
-                         lambda bi, di, hi: (di, hi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),  # mask
+            mask_spec,                              # mask (or scalar sentinel)
         ],
         out_specs=pl.BlockSpec((1, wd, kh * wh, w_, c),
                                lambda bi, di, hi: (bi, di, hi, 0, 0),
@@ -212,7 +293,9 @@ def fused_window_attention(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
     """Fused LN1 + 3D window attention + proj on a pre-rolled, pre-padded
     (B, D, H, W, C) tensor. D/H/W must be multiples of the window.
 
-    mask: (nd, nh, nw, N, N) additive f32 (zeros when unshifted).
+    mask: (nd, nh, nw, N, N) additive f32, or a (1, 1, 1, 1, 1) scalar
+    sentinel for unshifted blocks — the sentinel skips the in-kernel mask
+    add AND its per-program HBM stream entirely.
     rel_bias: (num_heads, N, N) f32 relative-position bias.
     """
     return _fused_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
@@ -233,7 +316,8 @@ def _bwd_chunk_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, wc_ref, bc_ref,
                       pwc_ref, bias_ref, mask_ref,
                       dy_ref, dqkvw_ref, dqkvb_ref, dpw_ref, drel_ref, *,
                       window: Tuple[int, int, int], chunk_heads: int,
-                      ln_eps: float, kh_rows: int, n_wgroups: int):
+                      ln_eps: float, kh_rows: int, n_wgroups: int,
+                      has_mask: bool):
     """Backward for one HEAD CHUNK of LN1 + window attention + proj on one
     (wd, kh*wh, Wp, C) tile: recomputes LN/qkv/softmax in VMEM (flash-style)
     for the chunk's heads only and produces
@@ -277,12 +361,7 @@ def _bwd_chunk_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, wc_ref, bc_ref,
     scale = 1.0 / math.sqrt(hd)
 
     # ---- recompute LayerNorm output (input backward happens outside) ----
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
-    y = (y * ln_scale_ref[:].astype(jnp.float32)
-         + ln_bias_ref[:].astype(jnp.float32)).astype(dt)
+    y = _ln_mxu(x, ln_scale_ref, ln_bias_ref, ln_eps)
 
     def part(t):  # (wd, kh*wh, kwg*ww, C) -> (nwin, N, C)
         t = t.reshape(wd, kh_rows, wh, kwg, ww, c)
@@ -306,7 +385,9 @@ def _bwd_chunk_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, wc_ref, bc_ref,
         qkv = (qkv + bc_ref[:].astype(jnp.float32)).astype(dt)
         qkv = qkv.reshape(nwin, n, 3 * ch)
 
-        mask = mask_ref[0][:, wg * kwg:(wg + 1) * kwg].reshape(nwin, n, n)
+        mask = (mask_ref[0][:, wg * kwg:(wg + 1) * kwg]
+                .reshape(nwin, n, n).astype(jnp.float32)
+                if has_mask else None)
 
         # ---- proj backward for the chunk's rows: dctx = g @ Wp[rows]^T ----
         dctx = jax.lax.dot_general(
@@ -332,18 +413,26 @@ def _bwd_chunk_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, wc_ref, bc_ref,
         cat = lambda a, b: (b if a is None  # noqa: E731
                             else jnp.concatenate([a, b], -1))
         for j in range(chunk_heads):
-            qh = qkv[:, :, j * hd:(j + 1) * hd]
+            # q pre-scaled on the small slice (mirrors the forward kernel's
+            # VPU economy; dk then needs no second scale — it contracts the
+            # already-scaled q — while dq keeps its explicit scale)
+            qh = qkv[:, :, j * hd:(j + 1) * hd] * scale
             kh_ = qkv[:, :, ch + j * hd:ch + (j + 1) * hd]
             vh = qkv[:, :, 2 * ch + j * hd:2 * ch + (j + 1) * hd]
 
             # recompute softmax for this head
             logits = jax.lax.dot_general(
                 qh, kh_, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale
-            logits = logits + bias_ref[j][None] + mask
+                preferred_element_type=jnp.float32)
+            add = (bias_ref[j][None] if mask is None
+                   else bias_ref[j][None] + mask)
+            logits = logits + add
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)   # f32 (nwin, N, N)
+            # exact VPU sums here: the backward's gradients are compared
+            # against the XLA VJP at 2e-3 — MXU bf16-cast denominators
+            # would spend that whole budget on the recompute alone
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             pb = p.astype(dt)
 
             ctx_acc = cat(ctx_acc, jax.lax.dot_general(
@@ -369,7 +458,7 @@ def _bwd_chunk_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, wc_ref, bc_ref,
             dq_acc = cat(dq_acc, dq_h.astype(dt))
             dk_h = jax.lax.dot_general(
                 dsb, qh, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32)
             dkb_acc = cat(dkb_acc, jnp.sum(dk_h, axis=(0, 1), keepdims=True))
             dk_acc = cat(dk_acc, dk_h.astype(dt))
 
@@ -448,20 +537,26 @@ def _pallas_bwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
     n_wgroups = wgroups
 
     grid = (b, nd, nh // kh)
+    has_mask = mask.ndim == 5 and mask.shape[-1] == n
     block = pl.BlockSpec((1, wd, kh * wh, w_, c),
                          lambda bi, di, hi: (bi, di, hi, 0, 0),
                          memory_space=pltpu.VMEM)
     acc = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    mask_spec = (pl.BlockSpec((1, kh, nw, n, n),
+                              lambda bi, di, hi: (di, hi, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if has_mask
+                 else acc())
     fwd_flops = (2 * b * nd * nh * nw * n * c * 4 * c
                  + 2 * b * nd * nh * nw * num_heads * n * n * hd * 2)
     kernel = functools.partial(_bwd_chunk_kernel, window=window,
                                chunk_heads=hc, ln_eps=ln_eps, kh_rows=kh,
-                               n_wgroups=n_wgroups)
+                               n_wgroups=n_wgroups, has_mask=has_mask)
     gc = g.astype(x.dtype)
     # Shift-mask values are exactly {0, -100}: bf16 represents them exactly,
     # and the in-kernel logits + mask add promotes back to f32 — halving the
     # largest constant input block's VMEM footprint for free.
-    mask_in = mask.astype(x.dtype) if x.dtype == jnp.bfloat16 else mask
+    mask_in = (mask.astype(x.dtype)
+               if has_mask and x.dtype == jnp.bfloat16 else mask)
 
     dy_f32 = None
     qw_parts, kw_parts, vw_parts = [], [], []
@@ -492,9 +587,7 @@ def _pallas_bwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
                 acc(),                                   # bc (chunk qkv_b)
                 acc(),                                   # pwc (chunk proj_w)
                 acc(),                                   # rel_bias chunk
-                pl.BlockSpec((1, kh, nw, n, n),
-                             lambda bi, di, hi: (di, hi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),   # mask
+                mask_spec,                               # mask (or sentinel)
             ],
             out_specs=[
                 block,                                   # dy partial
@@ -600,7 +693,7 @@ fused_window_attention.defvjp(_fwd, _bwd)
 def _hsplit_kernel(x_ref, ln_scale_ref, ln_bias_ref, wg_ref, bg_ref,
                    proj_w_ref, proj_b_ref, bias_ref, mask_ref, out_ref,
                    acc_ref, *, window: Tuple[int, int, int], group: int,
-                   ln_eps: float):
+                   ln_eps: float, has_mask: bool):
     wd, wh, ww = window
     n = wd * wh * ww
     gi = pl.program_id(3)
@@ -615,12 +708,7 @@ def _hsplit_kernel(x_ref, ln_scale_ref, ln_bias_ref, wg_ref, bg_ref,
     dt = x.dtype
     scale = 1.0 / math.sqrt(hd)
 
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
-    y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
-    y = y.astype(dt)
+    y = _ln_mxu(x, ln_scale_ref, ln_bias_ref, ln_eps)
 
     # partition: (kb, wd, wh, nw, ww, C) -> (kb*nw, N, C)
     y = y.reshape(kb, wd, wh, nw, ww, c)
@@ -631,20 +719,24 @@ def _hsplit_kernel(x_ref, ln_scale_ref, ln_bias_ref, wg_ref, bg_ref,
     qkv = (qkv + bg_ref[0].astype(jnp.float32)).astype(dt)
     qkv = qkv.reshape(nwin, n, 3 * hd_g)
 
-    mask = mask_ref[0].reshape(nw, n, n)
-    mask = jnp.broadcast_to(mask[None], (kb, nw, n, n)).reshape(nwin, n, n)
+    if has_mask:
+        mask = mask_ref[0].reshape(nw, n, n).astype(jnp.float32)
+        mask = jnp.broadcast_to(mask[None], (kb, nw, n, n)).reshape(nwin, n, n)
+    else:
+        mask = None
     ctx_heads = []
     for j in range(group):
-        qh = qkv[:, :, j * hd:(j + 1) * hd]
+        qh = qkv[:, :, j * hd:(j + 1) * hd] * scale
         kh = qkv[:, :, hd_g + j * hd:hd_g + (j + 1) * hd]
         vh = qkv[:, :, 2 * hd_g + j * hd:2 * hd_g + (j + 1) * hd]
         logits = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        logits = logits + bias_ref[j][None] + mask
+            preferred_element_type=jnp.float32)
+        add = bias_ref[j][None] if mask is None else bias_ref[j][None] + mask
+        logits = logits + add
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        w = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(dt)
         ctx_heads.append(jax.lax.dot_general(
             w, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dt))
@@ -704,8 +796,15 @@ def _hsplit_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
     bg = bg.reshape(n_groups, 1, 3 * hd_g)  # middle 1: Mosaic block-shape rule
 
     grid = (b // kb, nd, nh, n_groups)
+    has_mask = mask.ndim == 5 and mask.shape[-1] == n
+    if has_mask and x.dtype == jnp.bfloat16:
+        mask = mask.astype(jnp.bfloat16)
+    mask_spec = (pl.BlockSpec((1, 1, nw, n, n),
+                              lambda bi, di, hi, gi: (di, hi, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if has_mask
+                 else pl.BlockSpec(memory_space=pltpu.VMEM))
     kernel = functools.partial(_hsplit_kernel, window=window, group=group,
-                               ln_eps=ln_eps)
+                               ln_eps=ln_eps, has_mask=has_mask)
     flops = (2 * b * nd * nh * nw * n * c * 4 * c
              + 2 * b * nd * nh * nw * num_heads * n * n * hd * 2)
     block = pl.BlockSpec((kb, wd, wh, w_, c),
@@ -731,9 +830,7 @@ def _hsplit_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b,
             pl.BlockSpec((group, n, n),
                          lambda bi, di, hi, gi: (gi, 0, 0),
                          memory_space=pltpu.VMEM),        # rel_bias group
-            pl.BlockSpec((1, 1, nw, n, n),
-                         lambda bi, di, hi, gi: (di, hi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),        # mask
+            mask_spec,                                    # mask (or sentinel)
         ],
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),

@@ -1,0 +1,116 @@
+"""Whole-block fused Swin kernel (LN1+attn+proj+res+LN2+MLP+res): exact
+semantics vs the decomposed ops (interpret mode on CPU), incl. the scalar
+mask sentinel, FF chunking, and the custom VJP."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lrce_tpu.ops import pallas_swin_block as PB
+from lrce_tpu.ops import pallas_window_attn as PW
+from tests.test_pallas_window_attn import setup_case
+
+
+def block_case(shifted, c=64, heads=4, seed=0, sentinel=False):
+    inputs, window, heads = setup_case(c=c, heads=heads, shifted=shifted,
+                                       seed=seed)
+    rng = np.random.RandomState(seed + 100)
+    ff = 4 * c
+    mlp = (rng.rand(c).astype(np.float32) + 0.5,           # ln2 scale
+           rng.randn(c).astype(np.float32) * 0.1,          # ln2 bias
+           (rng.randn(c, ff) / np.sqrt(c)).astype(np.float32),
+           rng.randn(ff).astype(np.float32) * 0.02,
+           (rng.randn(ff, c) / np.sqrt(ff)).astype(np.float32),
+           rng.randn(c).astype(np.float32) * 0.02)
+    inputs = list(inputs) + [jnp.asarray(v) for v in mlp]
+    if sentinel:
+        inputs[8] = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+    return inputs, window, heads
+
+
+@pytest.mark.parametrize("shifted,sentinel", [(False, False), (False, True),
+                                              (True, False)])
+def test_block_matches_decomposed(shifted, sentinel):
+    inputs, window, heads = block_case(shifted, sentinel=sentinel)
+    got = PB.fused_swin_block(*inputs, window, heads, 1e-5, True)
+    ref = PB._decomposed(*inputs, window=window, num_heads=heads,
+                         ln_eps=1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_bf16_close_to_f32_reference():
+    """bf16 activations route through the MXU lane-sum branches (_lane_sum:
+    exact LN mean, <=2^-8-relative softmax denominator); the result must
+    stay within bf16-rounding distance of the f32 decomposed reference."""
+    inputs, window, heads = block_case(shifted=True, seed=5)
+    bf = [jnp.asarray(v, jnp.bfloat16)
+          if i in (0, 3, 5, 11, 13) else v            # x + weight matrices
+          for i, v in enumerate(inputs)]
+    got = PB.fused_swin_block(*bf, window, heads, 1e-5, True)
+    ref = PB._decomposed(*inputs, window=window, num_heads=heads,
+                         ln_eps=1e-5, interpret=True)
+    err = np.max(np.abs(np.asarray(got, np.float32) - np.asarray(ref)))
+    scale = np.max(np.abs(np.asarray(ref))) + 1e-6
+    assert err / scale < 0.06, f"bf16 drift {err/scale:.4f} vs f32 reference"
+
+
+def test_block_ff_chunking_identical():
+    inputs, window, heads = block_case(shifted=True, seed=3)
+    one = PB._block_fwd_impl(*inputs, window=window, num_heads=heads,
+                             ln_eps=1e-5, interpret=True, ff_chunks=1)
+    two = PB._block_fwd_impl(*inputs, window=window, num_heads=heads,
+                             ln_eps=1e-5, interpret=True, ff_chunks=2)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(two),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_block_vjp_matches_decomposed_grad():
+    inputs, window, heads = block_case(shifted=True, seed=4)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.square(
+            PB.fused_swin_block(*a, window, heads, 1e-5, True)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.square(PB._decomposed(
+            *a, window=window, num_heads=heads, ln_eps=1e-5,
+            interpret=True)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 3, 9, 11, 13))(*inputs)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 3, 9, 11, 13))(*inputs)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_model_block_routes_through_fused_block(monkeypatch):
+    """swin_block with use_pallas='full' + deterministic must produce the
+    XLA path's output (rolls included) through the whole-block kernel."""
+    from lrce_tpu.models import swin3d as S
+
+    rng = np.random.RandomState(7)
+    c, heads, window = 64, 4, (2, 3, 3)
+    x = jnp.asarray(rng.randn(2, 2, 6, 9, c).astype(np.float32))
+    params = S.swin_init(jax.random.PRNGKey(0), S.SwinConfig(
+        embed_dim=c, depths=(2, 1, 1, 1), num_heads=(heads,) * 4,
+        window_size=window))
+    p = jax.tree.map(lambda t: t[0], params["stages"][0]["blocks"])
+    rel_index = jnp.asarray(S.relative_position_index(window))
+    shift = tuple(s // 2 for s in window)
+    mask = jnp.asarray(S.compute_shift_mask((2, 6, 9), window, shift))
+
+    # interpret-mode kernels on CPU: patch the impls the model calls
+    orig_block = PB._block_fwd_impl
+    monkeypatch.setattr(PB, "_block_fwd_impl",
+                        lambda *a, **k: orig_block(
+                            *a, **{**k, "interpret": True}))
+
+    kw = dict(num_heads=heads, window=window, rel_index=rel_index,
+              dp_rate=0.0, deterministic=True, rng=None)
+    got = S.swin_block(p, x, shift=shift, mask=mask, use_pallas="full", **kw)
+    ref = S.swin_block(p, x, shift=shift, mask=mask, use_pallas=False, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

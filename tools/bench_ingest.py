@@ -9,11 +9,18 @@ decode path in the three regimes that matter for training throughput:
                 Microsoft datasets average ~10-25 questions per video)
   warm-clip   — clip LRU hit (--cache-items > 0): no decode at all
 
-Synthesizes MJPG .avi files (no dataset needed) and reports clips/s with
-the thread count of the training DataLoader.
+Synthesizes MJPG .avi (MSVD-like, intra-only) or mp4v .mp4 (MSRVTT-like,
+inter-codec — exercises the native keyframe-seek plan) files and reports
+clips/s with the thread count of the training DataLoader.
+
+--compare-cv2 interleaves native and cv2 cold runs in one process (the CI
+VM's absolute throughput swings over minutes; the interleaved RATIO is
+stable). --thread-sweep measures cold ingest at 1/2/4 threads to verify
+decode scales with DataLoader workers (decode holds no GIL).
 
 Usage: python tools/bench_ingest.py [--videos 12] [--frames 60]
-       [--questions-per-video 8] [--threads 4]
+       [--questions-per-video 8] [--threads 4] [--codec mjpg|mp4v]
+       [--compare-cv2] [--thread-sweep]
 """
 
 from __future__ import annotations
@@ -29,17 +36,30 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def make_videos(out_dir: str, n_videos: int, n_frames: int) -> list:
+def make_videos(out_dir: str, n_videos: int, n_frames: int,
+                codec: str = "mjpg") -> list:
     import cv2
 
+    fourcc, ext = (("MJPG", "avi") if codec == "mjpg" else ("mp4v", "mp4"))
     rng = np.random.RandomState(0)
     paths = []
+    # mp4v is an INTER codec: smooth-varying content (not per-pixel noise)
+    # gives realistic P-frame chains between keyframes, which is what the
+    # native keyframe-seek plan (native/video.cpp decode_with_seeks) and
+    # cv2's linear grab both have to pay for.
+    base = rng.randint(0, 255, (240, 320, 3), np.uint8)
     for i in range(n_videos):
-        path = f"{out_dir}/vid{i:03d}.avi"
-        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25,
+        path = f"{out_dir}/vid{i:03d}.{ext}"
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), 25,
                             (320, 240))
-        for _ in range(n_frames):
-            w.write(rng.randint(0, 255, (240, 320, 3), np.uint8))
+        for f in range(n_frames):
+            if codec == "mjpg":
+                frame = rng.randint(0, 255, (240, 320, 3), np.uint8)
+            else:
+                frame = np.clip(base.astype(np.int16)
+                                + rng.randint(-20, 20, base.shape)
+                                + (i * 11 + f) % 64, 0, 255).astype(np.uint8)
+            w.write(frame)
         w.release()
         paths.append(path)
     return paths
@@ -67,12 +87,52 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--questions-per-video", type=int, default=8)
     ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--codec", choices=("mjpg", "mp4v"), default="mjpg",
+                    help="mjpg = intra-only .avi (MSVD); mp4v = inter .mp4 "
+                         "(MSRVTT, native keyframe-seek path)")
+    ap.add_argument("--compare-cv2", action="store_true",
+                    help="interleave native/cv2 cold rounds; report the "
+                         "stable ratio")
+    ap.add_argument("--thread-sweep", action="store_true",
+                    help="cold ingest at 1/2/4 threads")
     args = ap.parse_args(argv)
+
+    import os
 
     from lrce_tpu.data import video_decode as VD
 
     with tempfile.TemporaryDirectory() as td:
-        paths = make_videos(td, args.videos, args.frames)
+        paths = make_videos(td, args.videos, args.frames, args.codec)
+
+        if args.compare_cv2:
+            # 3 interleaved rounds per path; VM throughput drifts over
+            # minutes, so only the within-round ratio is meaningful
+            rounds = []
+            for r in range(3):
+                VD._FRAME_COUNT_CACHE.clear()
+                nat = run_epoch(paths, 1, args.threads, None)
+                VD._FRAME_COUNT_CACHE.clear()
+                os.environ["LRCE_TPU_DISABLE_NATIVE"] = "1"
+                try:
+                    cv2r = run_epoch(paths, 1, args.threads, None)
+                finally:
+                    os.environ.pop("LRCE_TPU_DISABLE_NATIVE", None)
+                rounds.append((nat, cv2r))
+                print(f"round {r}: native {nat:7.1f}  cv2 {cv2r:7.1f}  "
+                      f"ratio {nat / cv2r:.2f}x", flush=True)
+            best = max(r[0] / r[1] for r in rounds)
+            med = sorted(r[0] / r[1] for r in rounds)[1]
+            print(f"cold native-vs-cv2 [{args.codec}]: median ratio "
+                  f"{med:.2f}x (best {best:.2f}x)")
+            return
+
+        if args.thread_sweep:
+            for t in (1, 2, 4):
+                VD._FRAME_COUNT_CACHE.clear()
+                cold = run_epoch(paths, 1, t, None)
+                print(f"cold decode [{args.codec}], {t} thread(s): "
+                      f"{cold:8.1f} clips/s", flush=True)
+            return
 
         # cold: no caches at all
         VD._FRAME_COUNT_CACHE.clear()

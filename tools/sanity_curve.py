@@ -91,9 +91,21 @@ def main(argv=None):
     p.add_argument("--fusion-lr", type=float, default=1e-3,
                    help="fusion+head group learning rate (memorization "
                         "lives mostly here for a from-scratch overfit)")
+    p.add_argument("--freeze-encoders", action="store_true",
+                   help="zero the text/video group LRs so only the LRCE "
+                        "fusion + head train. With pretrained encoders the "
+                        "reference's sanity promise ('very small error', "
+                        "train.py:124-128) follows from feature quality; "
+                        "with random encoders the same promise holds when "
+                        "the encoders are FROZEN features — memorization "
+                        "completes through the fusion head alone, without "
+                        "a 24-block random encoder contracting the signal "
+                        "while it drifts.")
     p.add_argument("--keep-dir", default=None,
                    help="build the dataset here and keep it (default: tmp)")
     args = p.parse_args(argv)
+    if args.freeze_encoders:
+        args.lr = 0.0
     if args.samples < 500:
         # Reference quirk preserved in our datasets: sanity-mode __len__ is
         # the constant SANITY_CHECK_SIZE=500 (reference e2e_dataset.py:54-58),
