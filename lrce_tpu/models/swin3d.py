@@ -330,16 +330,25 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
 
         dt = y.dtype
         dp_inactive = deterministic or (isinstance(dp_rate, (int, float))
-                                        and dp_rate == 0)
-        if use_pallas == "full" and dp_inactive:
+                                        and dp_rate == 0) or rng is None
+        if use_pallas == "full":
             # Whole-block fusion: LN1+attn+proj+residual+LN2+MLP+residual in
             # ONE kernel — the activation crosses HBM twice per block instead
             # of six times (this backend is bandwidth-bound; PERF.md). Every
             # op after window-reverse is per-token, so the full block
-            # commutes with the cyclic roll; drop_path must be inactive
-            # (eval, or this block's dp_rate == 0).
+            # commutes with the cyclic roll. Active drop_path enters the
+            # kernel as per-sample bernoulli/keep multipliers (same rng
+            # draws as drop_path would make).
             from lrce_tpu.ops.pallas_swin_block import fused_swin_block
 
+            if dp_inactive:
+                dp1 = dp2 = jnp.ones((1, 1), jnp.float32)
+            else:
+                keep = 1.0 - dp_rate
+                dp1 = (jax.random.bernoulli(r1, keep, (b, 1))
+                       .astype(jnp.float32) / keep)
+                dp2 = (jax.random.bernoulli(r2, keep, (b, 1))
+                       .astype(jnp.float32) / keep)
             y = fused_swin_block(
                 y, p["norm1"]["scale"], p["norm1"]["bias"],
                 p["attn"]["qkv"]["w"].astype(dt), p["attn"]["qkv"]["b"],
@@ -348,7 +357,7 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
                 p["norm2"]["scale"], p["norm2"]["bias"],
                 p["mlp"]["fc1"]["w"].astype(dt), p["mlp"]["fc1"]["b"],
                 p["mlp"]["fc2"]["w"].astype(dt), p["mlp"]["fc2"]["b"],
-                window, num_heads, LN_EPS)
+                dp1, dp2, window, num_heads, LN_EPS)
             if shifted:
                 y = jnp.roll(y, shift=shift, axis=(1, 2, 3))
             return y

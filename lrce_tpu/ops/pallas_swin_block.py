@@ -51,9 +51,10 @@ _ln_f32 = PWA._ln_mxu  # LayerNorm with MXU lane sums (see pallas_window_attn)
 def _block_kernel(x_ref, ln1s_ref, ln1b_ref, qkv_w_ref, qkv_b_ref,
                   proj_w_ref, proj_b_ref, bias_ref, mask_ref,
                   ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  dp1_ref, dp2_ref,
                   out_ref, *, window: Tuple[int, int, int], num_heads: int,
                   ln_eps: float, kh_rows: int, has_mask: bool,
-                  ff_chunks: int):
+                  ff_chunks: int, has_dp: bool):
     wd, wh, ww = window
     n = wd * wh * ww
     x = x_ref[0]                       # (wd, kh*wh, Wp, C)
@@ -79,7 +80,12 @@ def _block_kernel(x_ref, ln1s_ref, ln1b_ref, qkv_w_ref, qkv_b_ref,
 
     attn = jnp.dot(ctx, proj_w_ref[:].astype(dt),
                    preferred_element_type=jnp.float32)
-    attn = (attn + proj_b_ref[:].astype(jnp.float32)).astype(dt)
+    attn = attn + proj_b_ref[:].astype(jnp.float32)
+    if has_dp:
+        # stochastic depth: per-sample bernoulli/keep multiplier, applied
+        # in f32 before the cast (the multiply rides the bias-add pass)
+        attn = attn * dp1_ref[0, 0]
+    attn = attn.astype(dt)
 
     # window reverse into x layout, then residual (dt adds, matching the
     # decomposed path's shortcut + attn)
@@ -104,6 +110,8 @@ def _block_kernel(x_ref, ln1s_ref, ln1b_ref, qkv_w_ref, qkv_b_ref,
                        preferred_element_type=jnp.float32)
         out = part if out is None else out + part
     out = out + b2_ref[:].astype(jnp.float32)
+    if has_dp:
+        out = out * dp2_ref[0, 0]
     out = h1.reshape(-1, c).astype(jnp.float32) + out   # f32 residual, like
     out_ref[0] = out.astype(dt).reshape(x.shape)        # ops/pallas_mlp.py
 
@@ -121,8 +129,9 @@ def _pick_ff_chunks(c: int, dtype) -> int:
 
 
 def _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
-                    mask, ln2s, ln2b, w1, b1, w2, b2, *, window, num_heads,
-                    ln_eps, interpret, kh_rows=None, ff_chunks=None):
+                    mask, ln2s, ln2b, w1, b1, w2, b2, dp1, dp2, *, window,
+                    num_heads, ln_eps, interpret, kh_rows=None,
+                    ff_chunks=None):
     b, d, h, w_, c = x.shape
     wd, wh, ww = window
     nd, nh, nw = d // wd, h // wh, w_ // ww
@@ -143,9 +152,14 @@ def _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
                               lambda bi, di, hi: (di, hi, 0, 0, 0),
                               memory_space=pltpu.VMEM) if has_mask
                  else pl.BlockSpec(memory_space=pltpu.VMEM))
+    has_dp = dp1.shape[0] == b          # (1, 1) ones sentinel when inactive
+    dp_spec = (pl.BlockSpec((1, 1), lambda bi, di, hi: (bi, 0),
+                            memory_space=pltpu.VMEM) if has_dp
+               else pl.BlockSpec(memory_space=pltpu.VMEM))
     kernel = functools.partial(_block_kernel, window=window,
                                num_heads=num_heads, ln_eps=ln_eps,
-                               kh_rows=kh, has_mask=has_mask, ff_chunks=ffc)
+                               kh_rows=kh, has_mask=has_mask, ff_chunks=ffc,
+                               has_dp=has_dp)
     tokens = b * d * h * w_
     flops = (2 * tokens * c * 4 * c                       # qkv + proj
              + 2 * tokens * 2 * n * c                     # QK^T + PV
@@ -157,7 +171,8 @@ def _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[block] + [full] * 7 + [mask_spec] + [full] * 6,
+        in_specs=([block] + [full] * 7 + [mask_spec] + [full] * 6
+                  + [dp_spec, dp_spec]),
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -171,51 +186,62 @@ def _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
                          else None),
         interpret=interpret,
     )(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
-      ln2s, ln2b, w1, b1, w2, b2)
+      ln2s, ln2b, w1, b1, w2, b2, dp1, dp2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20))
 def fused_swin_block(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
-                     mask, ln2s, ln2b, w1, b1, w2, b2, window, num_heads,
-                     ln_eps=1e-5, interpret=False):
+                     mask, ln2s, ln2b, w1, b1, w2, b2, dp1, dp2, window,
+                     num_heads, ln_eps=1e-5, interpret=False):
     """Whole Swin block (attention sub-block + MLP sub-block, both
     residuals) on a pre-rolled, pre-padded (B, D, H, W, C) tensor.
 
     mask: (nd, nh, nw, N, N) additive, or a (1, 1, 1, 1, 1) scalar sentinel
-    for unshifted blocks. Weights in the conventions of
+    for unshifted blocks. dp1/dp2: per-sample stochastic-depth multipliers
+    (B, 1) f32 (bernoulli/keep, drawn outside), or a (1, 1) ones sentinel
+    when drop_path is inactive. Weights in the conventions of
     fused_window_attention / fused_mlp, pre-cast to the activation dtype.
-    drop_path must be inactive (eval, or dp_rate == 0).
     """
     return _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b,
                            rel_bias, mask, ln2s, ln2b, w1, b1, w2, b2,
-                           window=window, num_heads=num_heads, ln_eps=ln_eps,
-                           interpret=interpret)
+                           dp1, dp2, window=window, num_heads=num_heads,
+                           ln_eps=ln_eps, interpret=interpret)
 
 
 def _decomposed(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
-                ln2s, ln2b, w1, b1, w2, b2, *, window, num_heads, ln_eps,
-                interpret):
+                ln2s, ln2b, w1, b1, w2, b2, dp1=None, dp2=None, *, window,
+                num_heads, ln_eps, interpret):
     """The block as the existing ops compose it: fused_window_attention
     (hand-written Pallas VJP) + dt residual + the XLA MLP. Used for the
     backward pass and as the interpret-mode/test oracle."""
-    from lrce_tpu.ops.pallas_mlp import _xla_equivalent as mlp_ref
+    from lrce_tpu.ops.nn import dense, gelu, layer_norm
 
+    b = x.shape[0]
     a = PWA.fused_window_attention(x, ln1s, ln1b, qkv_w, qkv_b, proj_w,
                                    proj_b, rel_bias, mask, window, num_heads,
                                    ln_eps, interpret)
+    has_dp = dp1 is not None and dp1.shape[0] == b
+    if has_dp:
+        a = (a.astype(jnp.float32)
+             * dp1.reshape((b,) + (1,) * (a.ndim - 1))).astype(a.dtype)
     h1 = x + a
-    return mlp_ref(h1, ln2s, ln2b, w1, b1, w2, b2, ln_eps=ln_eps)
+    z = layer_norm({"scale": ln2s, "bias": ln2b}, h1, eps=ln_eps)
+    z = dense({"w": w2, "b": b2}, gelu(dense({"w": w1, "b": b1}, z)))
+    if has_dp:
+        z = (z.astype(jnp.float32)
+             * dp2.reshape((b,) + (1,) * (z.ndim - 1))).astype(z.dtype)
+    return h1 + z
 
 
 def _block_fwd(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
-               ln2s, ln2b, w1, b1, w2, b2, window, num_heads, ln_eps,
-               interpret):
+               ln2s, ln2b, w1, b1, w2, b2, dp1, dp2, window, num_heads,
+               ln_eps, interpret):
     out = _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b,
                           rel_bias, mask, ln2s, ln2b, w1, b1, w2, b2,
-                          window=window, num_heads=num_heads, ln_eps=ln_eps,
-                          interpret=interpret)
+                          dp1, dp2, window=window, num_heads=num_heads,
+                          ln_eps=ln_eps, interpret=interpret)
     return out, (x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
-                 ln2s, ln2b, w1, b1, w2, b2)
+                 ln2s, ln2b, w1, b1, w2, b2, dp1, dp2)
 
 
 def _block_bwd(window, num_heads, ln_eps, interpret, res, g):

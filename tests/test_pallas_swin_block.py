@@ -25,6 +25,7 @@ def block_case(shifted, c=64, heads=4, seed=0, sentinel=False):
            (rng.randn(ff, c) / np.sqrt(ff)).astype(np.float32),
            rng.randn(c).astype(np.float32) * 0.02)
     inputs = list(inputs) + [jnp.asarray(v) for v in mlp]
+    inputs += [jnp.ones((1, 1), jnp.float32)] * 2      # dp sentinels
     if sentinel:
         inputs[8] = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
     return inputs, window, heads
@@ -65,6 +66,56 @@ def test_block_ff_chunking_identical():
                              ln_eps=1e-5, interpret=True, ff_chunks=2)
     np.testing.assert_allclose(np.asarray(one), np.asarray(two),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_block_drop_path_matches_decomposed():
+    """Active stochastic depth: per-sample bernoulli/keep multipliers enter
+    the kernel and must scale exactly the two residual branches."""
+    inputs, window, heads = block_case(shifted=True, seed=6)
+    b = inputs[0].shape[0]
+    keep = 0.5
+    rng = np.random.RandomState(9)
+    inputs[15] = jnp.asarray(
+        rng.binomial(1, keep, (b, 1)).astype(np.float32) / keep)
+    inputs[16] = jnp.asarray(
+        rng.binomial(1, keep, (b, 1)).astype(np.float32) / keep)
+    got = PB.fused_swin_block(*inputs, window, heads, 1e-5, True)
+    ref = PB._decomposed(*inputs[:15], inputs[15], inputs[16],
+                         window=window, num_heads=heads, ln_eps=1e-5,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_model_block_train_drop_path_matches_xla(monkeypatch):
+    """Train mode (deterministic=False, dp_rate>0, live rng): the fused
+    block's bernoulli/keep multipliers must reproduce the XLA path's
+    drop_path draws bit-for-bit (same keys, same element count)."""
+    from lrce_tpu.models import swin3d as S
+
+    rng = np.random.RandomState(11)
+    c, heads, window = 64, 4, (2, 3, 3)
+    x = jnp.asarray(rng.randn(4, 2, 6, 9, c).astype(np.float32))
+    params = S.swin_init(jax.random.PRNGKey(0), S.SwinConfig(
+        embed_dim=c, depths=(2, 1, 1, 1), num_heads=(heads,) * 4,
+        window_size=window))
+    p = jax.tree.map(lambda t: t[0], params["stages"][0]["blocks"])
+    rel_index = jnp.asarray(S.relative_position_index(window))
+
+    orig_block = PB._block_fwd_impl
+    monkeypatch.setattr(PB, "_block_fwd_impl",
+                        lambda *a, **k: orig_block(
+                            *a, **{**k, "interpret": True}))
+
+    kw = dict(num_heads=heads, window=window, rel_index=rel_index,
+              dp_rate=0.4, deterministic=False,
+              rng=jax.random.PRNGKey(42))
+    got = S.swin_block(p, x, shift=(0, 0, 0), mask=None,
+                       use_pallas="full", **kw)
+    ref = S.swin_block(p, x, shift=(0, 0, 0), mask=None,
+                       use_pallas=False, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_block_vjp_matches_decomposed_grad():
