@@ -94,3 +94,21 @@ def test_inflate_swin2d_shapes():
     # temporal tiling: every (2wd-1) block equals the 2D-resized table
     l2 = (2 * wh - 1) * (2 * ww - 1)
     np.testing.assert_array_equal(table[:l2], table[l2:2 * l2])
+
+
+@pytest.mark.slow
+def test_e2e_eval_bench_tool(tmp_path, monkeypatch, capsys):
+    """Sustained-eval benchmark drives the real CLI eval path (dataset ->
+    loader -> agent.do_evaluation) and prints a JSON summary line."""
+    import json
+
+    monkeypatch.setenv("LRCE_TPU_TINY_MODEL", "1")
+    from tools.e2e_eval_bench import main
+
+    main(["--samples", "8", "--videos", "2", "--batch-size", "4",
+          "--workers", "1", "--keep-dir", str(tmp_path / "ds")])
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(last)
+    assert out["samples"] == 8
+    assert all(out[k] > 0 for k in ("cold+compile", "warm-count",
+                                    "warm-clip-cache"))
