@@ -244,11 +244,184 @@ def _block_fwd(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
                  ln2s, ln2b, w1, b1, w2, b2, dp1, dp2)
 
 
+# ---------------------------------------------------------------------------
+# Fused MLP backward: the XLA VJP of LN2 -> fc1 -> gelu -> fc2 materializes
+# the (tokens, 4C) hidden activation in HBM (462 MB per stage0 block at 48
+# clips, ~2 GB across stage2's 18 blocks) — on this bandwidth-bound backend
+# that IS the training bottleneck for the MLP half. This kernel recomputes
+# LN2/fc1/gelu in VMEM per tile (flash-style, like the attention backward)
+# and accumulates dW1/db1/dW2/db2/dLN2 across the sequential grid; FF is
+# split across separate pallas_calls when one chunk's live set would exceed
+# Mosaic's 16 MB default scoped-vmem budget (a raised budget faults this
+# backend's TPU worker — PERF.md "Backend fault"). The LN2 *input* backward
+# runs outside in one fused XLA pass over the summed per-chunk cotangents.
+# ---------------------------------------------------------------------------
+
+def _mlp_bwd_kernel(h1_ref, g_ref, ln2s_ref, ln2b_ref, w1c_ref, b1c_ref,
+                    w2c_ref, dp2_ref,
+                    dz_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                    ln_eps: float, has_dp: bool):
+    first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+             & (pl.program_id(2) == 0))
+
+    @pl.when(first)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    h1 = h1_ref[0]
+    c = h1.shape[-1]
+    dt = h1.dtype
+    z = PWA._ln_mxu(h1, ln2s_ref, ln2b_ref, ln_eps).reshape(-1, c)
+    g2d = g_ref[0].reshape(-1, c)
+    if has_dp:
+        g2d = (g2d.astype(jnp.float32) * dp2_ref[0, 0]).astype(dt)
+
+    # recompute this FF chunk's pre-activation + exact-erf gelu in f32
+    pre = jnp.dot(z, w1c_ref[:], preferred_element_type=jnp.float32)
+    pre = pre + b1c_ref[:].astype(jnp.float32)
+    cdf = 0.5 * (1.0 + _erf_f32(pre * (1.0 / math.sqrt(2.0))))
+    hid = (pre * cdf).astype(dt)
+
+    dw2_ref[:] += jax.lax.dot_general(
+        hid, g2d, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(g2d.astype(jnp.float32), axis=0)
+
+    dhid = jax.lax.dot_general(
+        g2d, w2c_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # gelu'(x) = cdf(x) + x * pdf(x), pdf = exp(-x^2/2)/sqrt(2*pi)
+    pdf = jnp.exp(-0.5 * pre * pre) * (1.0 / math.sqrt(2.0 * math.pi))
+    dpre = dhid * (cdf + pre * pdf)
+    dpre_dt = dpre.astype(dt)
+
+    dw1_ref[:] += jax.lax.dot_general(
+        z, dpre_dt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(dpre, axis=0)
+    dz = jax.lax.dot_general(
+        dpre_dt, w1c_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dz_ref[0] = dz.astype(dt).reshape(h1.shape)
+
+
+def _mlp_bwd_impl(h1, g, ln2s, ln2b, w1, b1, w2, b2, dp2, *, ln_eps,
+                  interpret, ff_chunks=None):
+    b, d, hh, ww, c = h1.shape
+    ff = w1.shape[1]
+    ffc = ff_chunks if ff_chunks is not None else _pick_ff_chunks(c, h1.dtype)
+    while ff % ffc:
+        ffc -= 1
+    fc = ff // ffc
+    has_dp = dp2.shape[0] == b
+    dt = h1.dtype
+
+    # One (D, rows, W) slab per program; rows sized so the f32 preactivation
+    # transient (tokens, ff/ffc) stays a few MB. No window constraint here —
+    # the MLP is per-token — so D folds into the tile.
+    if hh <= 14:
+        rows = hh
+    elif hh % 7 == 0:
+        rows = 7
+    else:
+        rows = 1
+    grid = (b, 1, hh // rows)
+    tile = pl.BlockSpec((1, d, rows, ww, c),
+                        lambda bi, di, hi: (bi, 0, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dp_spec = (pl.BlockSpec((1, 1), lambda bi, di, hi: (bi, 0),
+                            memory_space=pltpu.VMEM) if has_dp else full)
+    gc = g.astype(dt)
+
+    dz_sum = None
+    dw1_parts, db1_parts, dw2_parts = [], [], []
+    db2 = None
+    for ci in range(ffc):
+        cols = slice(ci * fc, (ci + 1) * fc)
+        kernel = functools.partial(_mlp_bwd_kernel, ln_eps=ln_eps,
+                                   has_dp=has_dp)
+        dz_c, dw1_c, db1_c, dw2_c, db2_c = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tile, tile, full, full, full, full, full, dp_spec],
+            out_specs=[tile, full, full, full, full],
+            out_shape=[
+                jax.ShapeDtypeStruct(h1.shape, dt),
+                jax.ShapeDtypeStruct((c, fc), jnp.float32),
+                jax.ShapeDtypeStruct((fc,), jnp.float32),
+                jax.ShapeDtypeStruct((fc, c), jnp.float32),
+                jax.ShapeDtypeStruct((c,), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * h1.size // c * c * fc * 4,
+                bytes_accessed=h1.size * 6,
+                transcendentals=h1.size // c * fc),
+            interpret=interpret,
+        )(h1, gc, ln2s, ln2b, w1[:, cols].astype(dt), b1[cols],
+          w2[cols, :].astype(dt), dp2)
+        dz_sum = (dz_c.astype(jnp.float32) if dz_sum is None
+                  else dz_sum + dz_c.astype(jnp.float32))
+        dw1_parts.append(dw1_c)
+        db1_parts.append(db1_c)
+        dw2_parts.append(dw2_c)
+        db2 = db2_c if db2 is None else db2  # identical across chunks
+
+    dw1 = jnp.concatenate(dw1_parts, axis=1)
+    db1 = jnp.concatenate(db1_parts)
+    dw2 = jnp.concatenate(dw2_parts, axis=0)
+
+    # ---- LN2 input backward, one fused XLA pass ----
+    xf = h1.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + ln_eps)
+    xn = (xf - mean) * inv
+    dls = jnp.sum(dz_sum * xn, axis=(0, 1, 2, 3))
+    dlb = jnp.sum(dz_sum, axis=(0, 1, 2, 3))
+    dxn = dz_sum * ln2s.astype(jnp.float32)
+    dh1_ln = inv * (dxn - jnp.mean(dxn, axis=-1, keepdims=True)
+                    - xn * jnp.mean(dxn * xn, axis=-1, keepdims=True))
+    return (dh1_ln, dls.astype(ln2s.dtype), dlb.astype(ln2b.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
 def _block_bwd(window, num_heads, ln_eps, interpret, res, g):
-    f = functools.partial(_decomposed, window=window, num_heads=num_heads,
-                          ln_eps=ln_eps, interpret=interpret)
-    _, vjp = jax.vjp(f, *res)
-    return vjp(g)
+    (x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias, mask,
+     ln2s, ln2b, w1, b1, w2, b2, dp1, dp2) = res
+    b = x.shape[0]
+    has_dp = dp1.shape[0] == b
+
+    # attention sub-block as a VJP-able function: h1 = x + k1 * attn(x)
+    # (fused_window_attention keeps its hand-written Pallas backward)
+    def attn_half(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
+                  mask):
+        a = PWA.fused_window_attention(x, ln1s, ln1b, qkv_w, qkv_b, proj_w,
+                                       proj_b, rel_bias, mask, window,
+                                       num_heads, ln_eps, interpret)
+        if has_dp:
+            a = (a.astype(jnp.float32)
+                 * dp1.reshape((b,) + (1,) * (a.ndim - 1))).astype(a.dtype)
+        return x + a
+
+    h1, attn_vjp = jax.vjp(attn_half, x, ln1s, ln1b, qkv_w, qkv_b, proj_w,
+                           proj_b, rel_bias, mask)
+
+    # MLP half backward (fused kernel): out = h1 + k2 * mlp(LN2(h1))
+    dh1_ln, dls, dlb, dw1, db1, dw2, db2 = _mlp_bwd_impl(
+        h1, g, ln2s, ln2b, w1, b1, w2, b2, dp2, ln_eps=ln_eps,
+        interpret=interpret)
+    dh1 = (g.astype(jnp.float32) + dh1_ln).astype(h1.dtype)
+
+    dx, dln1s, dln1b, dqkv_w, dqkv_b, dproj_w, dproj_b, drel, dmask = (
+        attn_vjp(dh1))
+    return (dx, dln1s, dln1b, dqkv_w, dqkv_b, dproj_w, dproj_b, drel, dmask,
+            dls, dlb, dw1, db1, dw2, db2,
+            jnp.zeros_like(dp1), jnp.zeros_like(dp2))
 
 
 fused_swin_block.defvjp(_block_fwd, _block_bwd)

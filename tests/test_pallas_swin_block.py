@@ -130,10 +130,37 @@ def test_block_vjp_matches_decomposed_grad():
             *a, window=window, num_heads=heads, ln_eps=1e-5,
             interpret=True)))
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 3, 9, 11, 13))(*inputs)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 3, 9, 11, 13))(*inputs)
+    nums = (0, 1, 3, 9, 10, 11, 12, 13, 14)
+    g_fused = jax.grad(loss_fused, argnums=nums)(*inputs)
+    g_ref = jax.grad(loss_ref, argnums=nums)(*inputs)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_block_vjp_with_drop_path_matches_decomposed_grad():
+    inputs, window, heads = block_case(shifted=False, seed=8, sentinel=True)
+    b = inputs[0].shape[0]
+    rng = np.random.RandomState(13)
+    inputs[15] = jnp.asarray(
+        rng.binomial(1, 0.5, (b, 1)).astype(np.float32) / 0.5)
+    inputs[16] = jnp.asarray(
+        rng.binomial(1, 0.5, (b, 1)).astype(np.float32) / 0.5)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.square(
+            PB.fused_swin_block(*a, window, heads, 1e-5, True)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.square(PB._decomposed(
+            *a, window=window, num_heads=heads, ln_eps=1e-5,
+            interpret=True)))
+
+    nums = (0, 3, 9, 11, 12, 13, 14)
+    g_fused = jax.grad(loss_fused, argnums=nums)(*inputs)
+    g_ref = jax.grad(loss_ref, argnums=nums)(*inputs)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
 
 
