@@ -331,7 +331,7 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
         dt = y.dtype
         dp_inactive = deterministic or (isinstance(dp_rate, (int, float))
                                         and dp_rate == 0) or rng is None
-        if use_pallas == "full":
+        if use_pallas == "full" and c <= 512:
             # Whole-block fusion: LN1+attn+proj+residual+LN2+MLP+residual in
             # ONE kernel — the activation crosses HBM twice per block instead
             # of six times (this backend is bandwidth-bound; PERF.md). Every
@@ -439,6 +439,11 @@ def _pallas_supported(x_shape, window, max_dim: int = 512):
             and c % 128 == 0):
         return False
     if c <= max_dim:
+        return "full"
+    if os.environ.get("LRCE_TPU_FULL_STAGE3"):
+        # experimental: the full-C kernel at C=1024 (32-head unrolled loop)
+        # — fits VMEM post-diet and brings the hand-written chunked Pallas
+        # backward to stage3 (the hsplit op differentiates via XLA)
         return "full"
     if os.environ.get("LRCE_TPU_DISABLE_HSPLIT"):
         return False
