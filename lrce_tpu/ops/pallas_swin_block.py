@@ -83,8 +83,11 @@ def _block_kernel(x_ref, ln1s_ref, ln1b_ref, qkv_w_ref, qkv_b_ref,
     attn = attn + proj_b_ref[:].astype(jnp.float32)
     if has_dp:
         # stochastic depth: per-sample bernoulli/keep multiplier, applied
-        # in f32 before the cast (the multiply rides the bias-add pass)
-        attn = attn * dp1_ref[0, 0]
+        # in f32 before the cast (the multiply rides the bias-add pass).
+        # dp refs are FULL (B, 1) arrays in SMEM indexed by the batch
+        # program id: a (1, 1) blocked VMEM window over (B, 1) violates
+        # Mosaic's (8, 128) block divisibility rule on real TPUs.
+        attn = attn * dp1_ref[pl.program_id(0), 0]
     attn = attn.astype(dt)
 
     # window reverse into x layout, then residual (dt adds, matching the
@@ -111,7 +114,7 @@ def _block_kernel(x_ref, ln1s_ref, ln1b_ref, qkv_w_ref, qkv_b_ref,
         out = part if out is None else out + part
     out = out + b2_ref[:].astype(jnp.float32)
     if has_dp:
-        out = out * dp2_ref[0, 0]
+        out = out * dp2_ref[pl.program_id(0), 0]
     out = h1.reshape(-1, c).astype(jnp.float32) + out   # f32 residual, like
     out_ref[0] = out.astype(dt).reshape(x.shape)        # ops/pallas_mlp.py
 
@@ -153,9 +156,10 @@ def _block_fwd_impl(x, ln1s, ln1b, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
                               memory_space=pltpu.VMEM) if has_mask
                  else pl.BlockSpec(memory_space=pltpu.VMEM))
     has_dp = dp1.shape[0] == b          # (1, 1) ones sentinel when inactive
-    dp_spec = (pl.BlockSpec((1, 1), lambda bi, di, hi: (bi, 0),
-                            memory_space=pltpu.VMEM) if has_dp
-               else pl.BlockSpec(memory_space=pltpu.VMEM))
+    # Per-sample scalars ride in SMEM as the FULL (B, 1) array (trivial
+    # window — exempt from Mosaic's (8, 128) block divisibility rule, which
+    # a (1, 1) blocked window over (B, 1) violates on real TPUs).
+    dp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = functools.partial(_block_kernel, window=window,
                                num_heads=num_heads, ln_eps=ln_eps,
                                kh_rows=kh, has_mask=has_mask, ff_chunks=ffc,
@@ -277,7 +281,8 @@ def _mlp_bwd_kernel(h1_ref, g_ref, ln2s_ref, ln2b_ref, w1c_ref, b1c_ref,
     z = PWA._ln_mxu(h1, ln2s_ref, ln2b_ref, ln_eps).reshape(-1, c)
     g2d = g_ref[0].reshape(-1, c)
     if has_dp:
-        g2d = (g2d.astype(jnp.float32) * dp2_ref[0, 0]).astype(dt)
+        g2d = (g2d.astype(jnp.float32)
+               * dp2_ref[pl.program_id(0), 0]).astype(dt)
 
     # recompute this FF chunk's pre-activation + exact-erf gelu in f32
     pre = jnp.dot(z, w1c_ref[:], preferred_element_type=jnp.float32)
@@ -333,8 +338,8 @@ def _mlp_bwd_impl(h1, g, ln2s, ln2b, w1, b1, w2, b2, dp2, *, ln_eps,
                         lambda bi, di, hi: (bi, 0, hi, 0, 0),
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    dp_spec = (pl.BlockSpec((1, 1), lambda bi, di, hi: (bi, 0),
-                            memory_space=pltpu.VMEM) if has_dp else full)
+    # full (B, 1) array in SMEM, indexed by program id (see _block_fwd_impl)
+    dp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     gc = g.astype(dt)
 
     dz_sum = None
