@@ -101,6 +101,16 @@ def main(argv=None):
                         "completes through the fusion head alone, without "
                         "a 24-block random encoder contracting the signal "
                         "while it drifts.")
+    p.add_argument("--lr-decay-factor", type=float, default=1.0,
+                   help="per-cycle max-LR decay for the cosine scheduler. "
+                        "The train default (0.5 every --lr-restart-epoch=2 "
+                        "epochs, reference agent_base.py:56-64) multiplies "
+                        "the LR by 0.5^(epoch/2): by epoch ~14 learning is "
+                        "effectively frozen — fine for real fine-tuning from "
+                        "pretrained encoders, lethal for an overfit "
+                        "demonstration. Default here: no decay.")
+    p.add_argument("--lr-restart-epoch", type=int, default=8,
+                   help="cosine cycle length in epochs (train default 2)")
     p.add_argument("--keep-dir", default=None,
                    help="build the dataset here and keep it (default: tmp)")
     args = p.parse_args(argv)
@@ -136,6 +146,8 @@ def main(argv=None):
         # (the train default drop-out 0.5 blocks memorization outright)
         "--drop-out-rate", "0", "--reg-strength", "0", "--sanity-check",
         "--cache-items", str(args.samples),
+        "--lr-decay-factor", str(args.lr_decay_factor),
+        "--lr-restart-epoch", str(args.lr_restart_epoch),
     ]
     targs = cfg_mod.parse_arg_train(argv_train)
 
