@@ -42,15 +42,32 @@ def make_mesh_2d(data: int, model: int,
     return Mesh(devices, tuple(axis_names))
 
 
+def make_mesh_3d(data: int, fsdp: int, model: int,
+                 axis_names: Sequence[str] = ("data", "fsdp", "model")
+                 ) -> Mesh:
+    """data x fsdp x model mesh: plain DP + ZeRO/FSDP parameter sharding +
+    Megatron tensor parallelism. The batch shards over data AND fsdp (see
+    batch_axes); params/optimizer state shard over fsdp (+ model) per
+    lrce_tpu.parallel.sharding.e2e_param_shardings."""
+    devices = np.asarray(jax.devices()[:data * fsdp * model])
+    return Mesh(devices.reshape(data, fsdp, model), tuple(axis_names))
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the global batch shards over: 'data' plus, when present,
+    'fsdp' (FSDP is extra data parallelism with sharded param storage)."""
+    return tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    return NamedSharding(mesh, P(axis))
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    return NamedSharding(mesh, P(batch_axes(mesh) if axis is None else axis))
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+def shard_batch(mesh: Mesh, batch, axis=None):
     sh = batch_sharding(mesh, axis)
     return tuple(jax.device_put(np.asarray(b), sh) for b in batch)
 

@@ -1,16 +1,27 @@
 """Parameter sharding rules: data-parallel replication + optional
-Megatron-style tensor parallelism over a 'model' mesh axis.
+Megatron-style tensor parallelism over a 'model' mesh axis + optional
+ZeRO/FSDP-style parameter+optimizer sharding over an 'fsdp' mesh axis.
 
 The reference is data-parallel only (SURVEY §2.2 — DDP is its single
-strategy), so TP is an *extension*: the text encoder's and fusion decoder's
-big matrices shard column-/row-wise over the 'model' axis and GSPMD inserts
-the all-reduces. The Swin video encoder stays replicated — its hot path runs
-through Pallas kernels that operate on full windows per chip, and its weights
-are comparatively small.
+strategy), so TP and FSDP are *extensions*:
 
-Column-parallel (output dim sharded): qkv / q/k/v projections, fc1.
-Row-parallel (input dim sharded): attention output proj, fc2.
-Everything else (embeddings, norms, biases of row-parallel layers): replicated.
+- TP ('model' axis): the text encoder's and fusion decoder's big matrices
+  shard column-/row-wise and GSPMD inserts the all-reduces.
+  Column-parallel (output dim sharded): qkv / q/k/v projections, fc1.
+  Row-parallel (input dim sharded): attention output proj, fc2.
+  Everything else (embeddings, norms, row-parallel biases): replicated.
+
+- FSDP ('fsdp' axis): every remaining text/fusion leaf (params AND the
+  optimizer moments that mirror them) shards its largest still-unsharded
+  divisible dim across the axis; the batch ALSO shards across 'fsdp', so
+  the axis acts as extra data parallelism whose parameter/optimizer
+  storage is 1/axis-size per chip (ZeRO-3). GSPMD inserts the weight
+  all-gathers before use and reduce-scatters the gradients.
+
+The Swin video encoder stays replicated under both axes — its hot path runs
+through Pallas kernels that operate on full windows per chip (GSPMD cannot
+repartition a pallas_call's operands), and its weights are comparatively
+small next to BERT + the fusion decoder.
 """
 
 from __future__ import annotations
@@ -72,21 +83,48 @@ def _spec_for(path: str, ndim: int, model_axis: str) -> P:
 
 
 def e2e_param_shardings(params: Any, mesh: Mesh,
-                        model_axis: str = "model") -> Any:
-    """NamedSharding pytree for E2E params. With no 'model' axis in the mesh
-    (or size-1), everything degrades to replication."""
+                        model_axis: str = "model",
+                        fsdp_axis: str = "fsdp") -> Any:
+    """NamedSharding pytree for E2E params (and, via the same call, the
+    optimizer state that mirrors them). With neither a 'model' nor an 'fsdp'
+    axis in the mesh (or size-1 axes), everything degrades to replication."""
     has_model = (model_axis in mesh.axis_names
                  and mesh.shape[model_axis] > 1)
+    has_fsdp = (fsdp_axis in mesh.axis_names
+                and mesh.shape[fsdp_axis] > 1)
 
     def leaf_sharding(path, leaf):
-        if not has_model:
+        path_s = _path_str(path)
+        spec = [None] * leaf.ndim
+        if has_model:
+            tp = _spec_for(path_s, leaf.ndim, model_axis)
+            spec = list(tp) + [None] * (leaf.ndim - len(tp))
+            # Only shard dims the leaf actually divides evenly
+            for i, axis_name in enumerate(spec):
+                if (axis_name is not None
+                        and leaf.shape[i] % mesh.shape[model_axis] != 0):
+                    spec = [None] * leaf.ndim
+                    break
+        if (has_fsdp and "video_extractor" not in path_s
+                and all(s is None for s in spec)):
+            # ZeRO-style: shard the LAST divisible dim (walking backward).
+            # Last-dim-first matters for embedding tables: sharding the
+            # vocab/index dim leaves every gather needing the full table,
+            # which GSPMD reshards via involuntary full rematerialization
+            # (collective-permutes); sharding the hidden dim partitions the
+            # gather cleanly. Leaves the TP rules already shard are left to
+            # TP alone — their storage is split by 'model' already, and a
+            # mixed fsdp+model spec on one scanned (stacked-layer) weight
+            # makes GSPMD reshard the per-layer slice with collective-
+            # permutes inside the scan body.
+            size = mesh.shape[fsdp_axis]
+            for i in reversed(range(leaf.ndim)):
+                if leaf.shape[i] >= size and leaf.shape[i] % size == 0:
+                    spec[i] = fsdp_axis
+                    break
+        if all(s is None for s in spec):
             return NamedSharding(mesh, P())
-        spec = _spec_for(_path_str(path), leaf.ndim, model_axis)
-        # Only shard dims the leaf actually divides evenly
-        for axis_name, dim in zip(spec, leaf.shape):
-            if axis_name is not None and dim % mesh.shape[model_axis] != 0:
-                return NamedSharding(mesh, P())
-        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 

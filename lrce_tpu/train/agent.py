@@ -74,8 +74,10 @@ class AgentBase:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from lrce_tpu.parallel.mesh import batch_axes
+
             self._replicated = NamedSharding(mesh, P())
-            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._batch_sharding = NamedSharding(mesh, P(batch_axes(mesh)))
         else:
             self._replicated = None
             self._batch_sharding = None
@@ -125,8 +127,23 @@ class AgentBase:
         self.best_epoch = None
         self.best_metric_val = None
 
-        self._train_step = jax.jit(self._make_train_step(),
-                                   donate_argnums=(0, 1))
+        if mesh is not None and not is_eval:
+            # Pin the donated outputs to the canonical param/opt shardings:
+            # without this, GSPMD may pick a different layout for the
+            # updated params, and the next step's input reshard degrades to
+            # runtime collective-permutes (and deadlocks the CPU backend's
+            # rendezvous on the virtual mesh).
+            from lrce_tpu.parallel.sharding import e2e_param_shardings
+
+            out_sh = (e2e_param_shardings(self.params, mesh),
+                      e2e_param_shardings(self.opt_state, mesh),
+                      self._replicated)
+            self._train_step = jax.jit(self._make_train_step(),
+                                       donate_argnums=(0, 1),
+                                       out_shardings=out_sh)
+        else:
+            self._train_step = jax.jit(self._make_train_step(),
+                                       donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._make_eval_step())
 
     # ------------------------------------------------------------------ util
