@@ -95,6 +95,18 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         "byte-exact numerics; TPU-side addition). "
                         "--no-uint8-transfer restores host-side float32",
                    action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--fsdp",
+                   help="Shard parameters + optimizer state ZeRO-style over "
+                        "an fsdp mesh axis of this size; the batch shards "
+                        "over data x fsdp (TPU-side addition; the reference "
+                        "replicates the model per GPU). Must divide the "
+                        "device count",
+                   default=1, type=int)
+    p.add_argument("--tensor-parallel",
+                   help="Megatron-style tensor parallelism over a model mesh "
+                        "axis of this size for the text/fusion matrices "
+                        "(TPU-side addition). Must divide the device count",
+                   default=1, type=int)
     p.add_argument("--use-hinge-loss",
                    help="Use hinge loss instead of cross entropy (for mc task)",
                    action="store_true")

@@ -53,6 +53,22 @@ def make_mesh_3d(data: int, fsdp: int, model: int,
     return Mesh(devices.reshape(data, fsdp, model), tuple(axis_names))
 
 
+def make_train_mesh(fsdp: int = 1, model: int = 1) -> Mesh:
+    """Mesh for the train/eval CLIs: data x fsdp x model over all local
+    devices, degrading to the plain 1-D data mesh when fsdp == model == 1."""
+    n = len(jax.devices())
+    if fsdp < 1 or model < 1 or n % (fsdp * model) != 0:
+        raise ValueError(
+            f"--fsdp {fsdp} x --tensor-parallel {model} must divide the "
+            f"device count ({n})")
+    data = n // (fsdp * model)
+    if fsdp == 1 and model == 1:
+        return make_mesh()
+    if fsdp == 1:
+        return make_mesh_2d(data, model)
+    return make_mesh_3d(data, fsdp, model)
+
+
 def batch_axes(mesh: Mesh) -> tuple:
     """Mesh axes the global batch shards over: 'data' plus, when present,
     'fsdp' (FSDP is extra data parallelism with sharded param storage)."""

@@ -52,6 +52,30 @@ def test_fsdp_rules_shard_text_and_fusion_only():
     assert batch_axes(mesh) == ("data", "fsdp")
 
 
+def test_train_mesh_builder_and_cli_flags():
+    from lrce_tpu.config import parse_arg_train
+    from lrce_tpu.parallel.mesh import make_train_mesh
+
+    args = parse_arg_train(["--dataset", "msvd-qa-oe", "--dataset-dir", "/x",
+                            "--fsdp", "2", "--tensor-parallel", "2"])
+    assert args.fsdp == 2 and args.tensor_parallel == 2
+    # defaults stay off
+    args0 = parse_arg_train(["--dataset", "msvd-qa-oe", "--dataset-dir", "/x"])
+    assert args0.fsdp == 1 and args0.tensor_parallel == 1
+
+    mesh = make_train_mesh(2, 2)
+    assert dict(mesh.shape) == {"data": 2, "fsdp": 2, "model": 2}
+    assert batch_axes(mesh) == ("data", "fsdp")
+
+    assert dict(make_train_mesh(1, 1).shape) == {"data": 8}
+    assert dict(make_train_mesh(1, 2).shape) == {"data": 4, "model": 2}
+    assert dict(make_train_mesh(4, 1).shape) == {"data": 2, "fsdp": 4,
+                                                 "model": 1}
+
+    with pytest.raises(ValueError):
+        make_train_mesh(3, 1)  # 3 does not divide 8
+
+
 def test_fsdp_no_axis_degrades_to_replication():
     from lrce_tpu.models import e2e as E
     from lrce_tpu.parallel.mesh import make_mesh

@@ -20,7 +20,7 @@ from lrce_tpu import config as cfg_mod
 from lrce_tpu.data.datasets import E2EMicrosoftDataset, E2ETGIFDataset
 from lrce_tpu.data.loader import DataLoader
 from lrce_tpu.models.e2e import config_from_args, e2e_init_jit
-from lrce_tpu.parallel.mesh import initialize_multihost, make_mesh
+from lrce_tpu.parallel.mesh import initialize_multihost, make_train_mesh
 from lrce_tpu.pretrained import load_pretrained
 from lrce_tpu.train.agent import agent_factory
 from lrce_tpu.utils.logging import get_logger, setup_logging
@@ -79,9 +79,14 @@ def main(train_args) -> None:
     params = e2e_init_jit(jax.random.PRNGKey(0), model_cfg)
     params = load_pretrained(params)
 
-    mesh = make_mesh()
-    num_devices = mesh.devices.size
-    logger.info(f"Using {num_devices} TPU device(s)")
+    mesh = make_train_mesh(getattr(train_args, "fsdp", 1),
+                           getattr(train_args, "tensor_parallel", 1))
+    # the global batch shards over the data-like axes only (model-parallel
+    # groups consume the same samples), so batch replicas =/= device count
+    # once --tensor-parallel > 1
+    num_devices = mesh.shape["data"] * mesh.shape.get("fsdp", 1)
+    logger.info(f"Using {mesh.devices.size} TPU device(s), "
+                f"{num_devices} batch shard(s): mesh {dict(mesh.shape)}")
 
     agent_cls = agent_factory(train_args.task_type)
     trainer = agent_cls(
