@@ -214,8 +214,12 @@ class AgentBase:
         return step
 
     # ------------------------------------------------------------------ step
-    def step(self, *batch, is_train: bool):
-        """One batch -> (loss, metric_num, metric_den), host floats."""
+    def dispatch(self, *batch, is_train: bool):
+        """Enqueue one batch and return the stacked (loss, metric_num,
+        metric_den) DEVICE vector without reading it back. JAX dispatch is
+        async, so the caller can overlap the device->host metric read of
+        step N-1 with step N's compute (process_data does exactly that —
+        the last per-step host sync disappears from the train loop)."""
         batch = self._put_batch(batch)
         if is_train:
             rng = jax.random.fold_in(self.base_rng, self.counter)
@@ -224,6 +228,11 @@ class AgentBase:
                 self.params, self.opt_state, *batch, lrs, rng)
         else:
             out = self._eval_step(self.params, *batch)
+        return out
+
+    def step(self, *batch, is_train: bool):
+        """One batch -> (loss, metric_num, metric_den), host floats."""
+        out = self.dispatch(*batch, is_train=is_train)
         loss, m0, m1 = np.asarray(out)  # ONE device->host sync per step
         return float(loss), float(m0), float(m1)
 
@@ -259,24 +268,46 @@ class AgentBase:
         from lrce_tpu.data.prefetch import device_prefetch
 
         batches = device_prefetch(dl, self._batch_sharding)
-        for i, batch_data in enumerate(batches):
-            if not is_train:
-                b_loss, m0, m1 = self.step(*batch_data, is_train=False)
-            else:
-                b_loss, m0, m1 = self.step(*batch_data, is_train=True)
-                self.counter += 1
-                if getattr(self.args, "use_cosine_scheduler", False):
-                    self.lrs = self.scheduler.step(epoch + i / n_batches)
-                for k, lr in enumerate(self.lrs):
-                    self.write_summary(f"LR Scheduler/{k}", lr, self.counter)
-                self.write_summary("Training/Batch Loss", b_loss, self.counter)
-                self.write_summary(f"Training/Batch {self.metric_name}",
-                                   m0 / max(m1, 1e-9), self.counter)
-                yield i
+        # Metric reads run ONE step behind dispatch: while the device
+        # executes step i, the host reads step i-1's stacked metric vector
+        # (already finished) — so the per-step device->host round trip
+        # (~27 ms through the axon tunnel) overlaps compute instead of
+        # serializing after it. TB scalars land with the counter/lr values
+        # snapshot at their own dispatch, so logs are unchanged.
+        pending = None  # (device_out, counter_snapshot, lrs_snapshot)
 
+        def drain(p):
+            out, ctr, lrs = p
+            b_loss, m0, m1 = (float(v) for v in np.asarray(out))
+            if is_train:
+                for k, lr in enumerate(lrs):
+                    self.write_summary(f"LR Scheduler/{k}", lr, ctr)
+                self.write_summary("Training/Batch Loss", b_loss, ctr)
+                self.write_summary(f"Training/Batch {self.metric_name}",
+                                   m0 / max(m1, 1e-9), ctr)
+            nonlocal metric_num, metric_den
             metric_num += m0
             metric_den += m1
             batch_losses.append(b_loss)
+
+        for i, batch_data in enumerate(batches):
+            out = self.dispatch(*batch_data, is_train=is_train)
+            if is_train:
+                self.counter += 1
+                ctr = self.counter
+                if getattr(self.args, "use_cosine_scheduler", False):
+                    self.lrs = self.scheduler.step(epoch + i / n_batches)
+                lrs_snap = list(self.lrs)
+            else:
+                ctr, lrs_snap = self.counter, None
+            if pending is not None:
+                drain(pending)
+            pending = (out, ctr, lrs_snap)
+            if is_train:
+                yield i
+
+        if pending is not None:
+            drain(pending)
 
         avg_loss = float(np.mean([l for l in batch_losses if l != 0]))
         avg_metric = metric_num / max(metric_den, 1e-9)

@@ -14,10 +14,13 @@ three regimes:
              of batch N+1 overlaps step N's compute, so this should sit
              within ~10% of the device regime.
 
-Feeds PERF.md's training table. Remat is ON by default (required for
-batch > 8 on 16G HBM; LRCE_TPU_SWIN_REMAT is set before model import).
+Feeds PERF.md's training table. Remat is OFF by default: since the fused
+MLP backward stopped materializing the 4C hidden in HBM, no-remat fits
+through batch 32 (96 clips) on 16G and is ~9% faster than remat
+(PERF.md round-3 sweep). Pass --remat for larger batches (it sets
+LRCE_TPU_SWIN_REMAT before model import).
 
-Usage: python tools/train_bench.py [--batch 16] [--iters 10] [--no-remat]
+Usage: python tools/train_bench.py [--batch 16] [--iters 10] [--remat]
 """
 
 from __future__ import annotations
@@ -34,12 +37,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--no-remat", dest="remat",
+                   action="store_false",
+                   help="(default) explicit off switch")
     p.add_argument("--reg", type=float, default=0.0,
                    help="reg_strength (paper configs use 0.001)")
     args = p.parse_args(argv)
 
-    if not args.no_remat:
+    if args.remat:
         os.environ["LRCE_TPU_SWIN_REMAT"] = "1"
 
     import numpy as np
@@ -51,7 +57,7 @@ def main(argv=None):
     from lrce_tpu.models import swin3d as S
     from lrce_tpu.train.agent import AgentOE
 
-    swin = S.SWIN_BASE._replace(remat=not args.no_remat)
+    swin = S.SWIN_BASE._replace(remat=args.remat)
     cfg = E.E2EConfig(num_classes=1000, temporal_scale=(3,), text_seq_len=32,
                       swin=swin)
     params = E.e2e_init_jit(jax.random.PRNGKey(0), cfg)
@@ -116,12 +122,33 @@ def main(argv=None):
         agent.step(*dev_batch, is_train=True)
     dev = (time.perf_counter() - t0) / args.iters
 
+    # lagged regime: process_data's actual loop shape — metrics of step N-1
+    # are read while step N computes (agent.dispatch + 1-deep pending), so
+    # the device->host metric round trip overlaps compute
+    pending = agent.dispatch(*dev_batch, is_train=True)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = agent.dispatch(*dev_batch, is_train=True)
+        np.asarray(pending)
+        pending = out
+    np.asarray(pending)
+    # the trailing read drains step iters+1; charge the loop body only
+    lag = (time.perf_counter() - t0) / (args.iters + 1)
+
     clips = 3 * b
-    print(f"batch {b} ({clips} clips), remat={not args.no_remat}, "
+    print(f"batch {b} ({clips} clips), remat={args.remat}, "
           f"reg={args.reg}")
     print(f"  wall step:     {wall * 1000:7.1f} ms  {clips / wall:7.1f} clips/s")
     print(f"  prefetch step: {pref * 1000:7.1f} ms  {clips / pref:7.1f} clips/s")
     print(f"  device step:   {dev * 1000:7.1f} ms  {clips / dev:7.1f} clips/s")
+    print(f"  lagged step:   {lag * 1000:7.1f} ms  {clips / lag:7.1f} clips/s")
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(f"  peak HBM:      {peak / 2**30:7.2f} GiB")
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
