@@ -388,18 +388,10 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
 
     x = shortcut + drop_path(r1, y, dp_rate, deterministic)
 
-    # The fused MLP only beats XLA's own fusion on the bandwidth-bound
-    # C=128 stage (measured: 2.50 vs 2.86 ms at stage0; XLA wins at C>=256).
-    if use_pallas and deterministic and c <= 128:
-        # fused LN2 + MLP + residual (drop_path is identity in eval)
-        from lrce_tpu.ops.pallas_mlp import fused_mlp
-
-        dt = x.dtype
-        return fused_mlp(x, p["norm2"]["scale"], p["norm2"]["bias"],
-                         p["mlp"]["fc1"]["w"].astype(dt), p["mlp"]["fc1"]["b"],
-                         p["mlp"]["fc2"]["w"].astype(dt), p["mlp"]["fc2"]["b"],
-                         LN_EPS)
-
+    # (The standalone ops/pallas_mlp.fused_mlp routing that used to sit here
+    # became unreachable once whole-block fusion covered every use_pallas
+    # case with C <= 512; the op remains as the tested building block the
+    # whole-block kernel's MLP half grew from.)
     z = layer_norm(p["norm2"], x, eps=LN_EPS)
     z = dense(p["mlp"]["fc2"], gelu(dense(p["mlp"]["fc1"], z)))
     return x + drop_path(r2, z, dp_rate, deterministic)

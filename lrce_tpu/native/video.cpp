@@ -20,6 +20,10 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -78,23 +82,6 @@ struct Reader {
   bool intra_only() const {
     const AVCodecDescriptor* d = avcodec_descriptor_get(dec->codec_id);
     return d && (d->props & AV_CODEC_PROP_INTRA_ONLY);
-  }
-
-  // Demux-only packet count on the video stream — the cheap sweep cv2's
-  // grab() loop amounts to. One packet = one frame for the containers the
-  // datasets use (MJPG .avi, h264 .mp4). Zero-size packets (AVI drop/padding
-  // entries) produce no decoded frame, so they are excluded — cv2's grab()
-  // count excludes them too, and sweep() skips them in the same way so the
-  // two index spaces stay aligned.
-  int count_packets() {
-    AVPacket* pkt = av_packet_alloc();
-    int n = 0;
-    while (av_read_frame(fmt, pkt) >= 0) {
-      if (pkt->stream_index == stream && pkt->size > 0) ++n;
-      av_packet_unref(pkt);
-    }
-    av_packet_free(&pkt);
-    return n;
   }
 
   // Decode frames in presentation order, invoking visit(frame, pos) for
@@ -171,6 +158,53 @@ struct PktTime {
   bool key;     // container sync sample (mp4 stss / AVI keyframe flag)
 };
 
+// Per-file demux scan: the packet timing table (and thereby the frame
+// count = pk.size()). Immutable once built — dataset files never change
+// during a run — so it is cached process-wide: training/eval fetch each
+// video once PER QUESTION (~10-25 fetches/video on the Microsoft
+// datasets), and without the cache every fetch would pay one O(file)
+// demux sweep for the count plus (inter codecs) a second one for the
+// seek plan. Decode runs GIL-free in DataLoader threads, hence the mutex.
+struct FileScan {
+  std::vector<PktTime> pk;
+  bool bad_ts = false;  // some packet had no usable timestamp
+};
+
+std::mutex g_scan_mu;
+std::unordered_map<std::string, std::shared_ptr<const FileScan>> g_scan_cache;
+
+// ~16 B/packet -> a few hundred KB/file worst case; cap the map so a huge
+// dataset sweep stays bounded (eviction order is arbitrary, which is fine:
+// warm fetches cluster per video within an epoch).
+constexpr size_t kScanCacheCap = 1024;
+
+// Demux-only sweep of `r` (fresh open) producing the cached timing table.
+std::shared_ptr<const FileScan> scan_packets(Reader& r, const char* path) {
+  {
+    std::lock_guard<std::mutex> lk(g_scan_mu);
+    auto it = g_scan_cache.find(path);
+    if (it != g_scan_cache.end()) return it->second;
+  }
+  auto scan = std::make_shared<FileScan>();
+  AVPacket* pkt = av_packet_alloc();
+  while (av_read_frame(r.fmt, pkt) >= 0) {
+    if (pkt->stream_index == r.stream && pkt->size > 0) {
+      int64_t ts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      if (ts == AV_NOPTS_VALUE) scan->bad_ts = true;
+      scan->pk.push_back({ts, (pkt->flags & AV_PKT_FLAG_KEY) != 0});
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  {
+    std::lock_guard<std::mutex> lk(g_scan_mu);
+    while (g_scan_cache.size() >= kScanCacheCap)
+      g_scan_cache.erase(g_scan_cache.begin());
+    g_scan_cache.emplace(path, scan);
+  }
+  return scan;
+}
+
 // Sampled decode for INTER codecs (h264/mpeg4 — MSRVTT .mp4) via keyframe
 // seeks: a demux-only pre-pass records every packet's timestamp + keyframe
 // flag, presentation order falls out of a stable sort by timestamp, and
@@ -186,24 +220,12 @@ struct PktTime {
 // if the stream has unusable timestamps (caller reopens and runs the
 // linear sweep).
 template <typename EmitFn>
-int decode_with_seeks(Reader& r, const int* indices, int n_idx,
-                      EmitFn&& emit_frame) {
-  // ---- pass 1: demux-only timing scan ----
-  std::vector<PktTime> pk;
-  {
-    AVPacket* pkt = av_packet_alloc();
-    bool bad_ts = false;
-    while (av_read_frame(r.fmt, pkt) >= 0) {
-      if (pkt->stream_index == r.stream && pkt->size > 0) {
-        int64_t ts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
-        if (ts == AV_NOPTS_VALUE) bad_ts = true;
-        pk.push_back({ts, (pkt->flags & AV_PKT_FLAG_KEY) != 0});
-      }
-      av_packet_unref(pkt);
-    }
-    av_packet_free(&pkt);
-    if (bad_ts || pk.empty()) return -1;
-  }
+int decode_with_seeks(Reader& r, const FileScan& scan, const int* indices,
+                      int n_idx, EmitFn&& emit_frame) {
+  // timing table from the (cached) demux scan — warm fetches skip the
+  // O(file) pre-pass entirely
+  const std::vector<PktTime>& pk = scan.pk;
+  if (scan.bad_ts || pk.empty()) return -1;
   const int n = (int)pk.size();
 
   // presentation order = stable sort of packet timestamps
@@ -293,15 +315,18 @@ int decode_with_seeks(Reader& r, const int* indices, int n_idx,
 extern "C" {
 
 // Frame count + native dimensions. Returns 0 on success. Counts demuxed
-// packets (cv2's grab()-sweep semantics); a packet the decoder later
-// rejects surfaces as a video_decode_sampled error and the caller falls
-// back to the cv2 path.
+// non-empty packets (cv2's grab()-sweep semantics — AVI drop/padding
+// packets excluded, matching sweep()'s index space); a packet the decoder
+// later rejects surfaces as a video_decode_sampled error and the caller
+// falls back to the cv2 path. The demux scan is cached per file, so the
+// count sweep and the seek planner's timing pre-pass cost ONE O(file)
+// pass total across all fetches of the same video.
 int video_probe(const char* path, int* n_frames, int* width, int* height) {
   Reader r;
   if (r.open(path) != 0) return -1;
   *width = r.dec->width;
   *height = r.dec->height;
-  *n_frames = r.count_packets();
+  *n_frames = (int)scan_packets(r, path)->pk.size();
   return *n_frames > 0 ? 0 : -2;
 }
 
@@ -347,9 +372,10 @@ int video_decode_sampled(const char* path, const int* indices, int n_idx,
   if (!r.intra_only()) {
     // Inter codec (h264/mpeg4 .mp4 — MSRVTT): keyframe-seek plan. Only the
     // GOP segments containing sampled frames decode. Falls back to the
-    // linear sweep (fresh open: the pre-pass consumed the stream) when the
-    // container has no usable timestamps.
-    int rc = decode_with_seeks(r, indices, n_idx, emit_frame);
+    // linear sweep (fresh open: a cache-miss pre-pass consumed the stream)
+    // when the container has no usable timestamps.
+    int rc = decode_with_seeks(r, *scan_packets(r, path), indices, n_idx,
+                               emit_frame);
     if (rc >= 0) {
       if (sws) sws_freeContext(sws);
       return rc;

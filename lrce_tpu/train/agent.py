@@ -309,7 +309,10 @@ class AgentBase:
         if pending is not None:
             drain(pending)
 
-        avg_loss = float(np.mean([l for l in batch_losses if l != 0]))
+        nonzero = [l for l in batch_losses if l != 0]
+        # empty loader (or all-zero losses): nan, not a numpy warning — the
+        # sanity/eval reporters detect it and say "n/a" instead of crashing
+        avg_loss = float(np.mean(nonzero)) if nonzero else float("nan")
         avg_metric = metric_num / max(metric_den, 1e-9)
 
         if not is_train:
@@ -354,9 +357,10 @@ class AgentBase:
         for i in range(self.args.epoch):
             self.logger.info(f"Epoch {i + 1}/{self.args.epoch}")
             deque(self.process_data(dl, True, i), maxlen=0)
-            if self.last_train_loss is None:
-                # An empty sanity loader yields no train batches; surface
-                # that instead of a TypeError on the format below.
+            if (self.last_train_loss is None
+                    or not np.isfinite(self.last_train_loss)):
+                # An empty sanity loader yields no train batches (avg loss
+                # nan); surface that instead of printing "Sanity loss nan".
                 self.logger.info("Sanity loss n/a (no train batches)")
                 continue
             self.logger.info(

@@ -47,8 +47,6 @@ def main(argv=None):
     p.add_argument("--keep-dir", default=None)
     args = p.parse_args(argv)
 
-    import os
-
     from tools.sanity_curve import build_dataset
 
     tmp = (pathlib.Path(args.keep_dir) if args.keep_dir

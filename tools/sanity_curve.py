@@ -100,7 +100,13 @@ def main(argv=None):
                         "the encoders are FROZEN features — memorization "
                         "completes through the fusion head alone, without "
                         "a 24-block random encoder contracting the signal "
-                        "while it drifts.")
+                        "while it drifts. NOTE: this switches the run to "
+                        "the constant-LR (plateau) scheduler — under the "
+                        "cosine scheduler per-group LRs don't exist (the "
+                        "reference's scheduler package overwrites every "
+                        "group with max_lr=lr[0], a quirk we preserve: "
+                        "schedule.py CosineWarmupRestarts), so zeroed "
+                        "encoder LRs would silently train anyway.")
     p.add_argument("--lr-decay-factor", type=float, default=1.0,
                    help="per-cycle max-LR decay for the cosine scheduler. "
                         "The train default (0.5 every --lr-restart-epoch=2 "
@@ -141,14 +147,21 @@ def main(argv=None):
         "--epoch", str(args.epochs), "--num-workers", "4",
         # group order is (fusion, text, video) — optimizer.GROUPS
         "--lr", str(args.fusion_lr), str(args.lr), str(args.lr),
-        "--use-cosine-scheduler",
         # overfitting 500 samples is the POINT here: no regularization
         # (the train default drop-out 0.5 blocks memorization outright)
         "--drop-out-rate", "0", "--reg-strength", "0", "--sanity-check",
         "--cache-items", str(args.samples),
-        "--lr-decay-factor", str(args.lr_decay_factor),
-        "--lr-restart-epoch", str(args.lr_restart_epoch),
     ]
+    if not args.freeze_encoders:
+        # cosine scheduling collapses the 3 group LRs to one (reference
+        # package quirk, see --freeze-encoders help); freezing therefore
+        # requires the plateau path, whose per-group LRs are real and stay
+        # constant in sanity mode (no validation epochs -> never stepped).
+        argv_train += [
+            "--use-cosine-scheduler",
+            "--lr-decay-factor", str(args.lr_decay_factor),
+            "--lr-restart-epoch", str(args.lr_restart_epoch),
+        ]
     targs = cfg_mod.parse_arg_train(argv_train)
 
     # capture the agent's per-epoch sanity lines for the curve; configure
