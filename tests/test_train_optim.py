@@ -120,3 +120,27 @@ def test_reduce_on_plateau_matches_torch():
         mine.step(m)
         tlrs = [g["lr"] for g in topt.param_groups]
         assert mine.lrs == pytest.approx(tlrs), m
+
+
+def test_zero_lr_group_is_frozen():
+    """A zero-LR group must not move at all (the mechanism sanity_curve's
+    --freeze-encoders relies on — only real under per-group LRs, i.e. the
+    plateau path; the cosine scheduler overwrites every group with lr[0])."""
+    key = jax.random.PRNGKey(0)
+    params = {
+        "fusion_model": {"w": jax.random.normal(key, (4, 4))},
+        "text_extractor": {"w": jax.random.normal(key, (4, 4)) + 1.0},
+        "video_extractor": {"w": jax.random.normal(key, (4, 4)) - 1.0},
+    }
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    adam = O.make_optimizer()
+    labels = O.group_index_tree(params)
+    state = adam.init(params)
+    lrs = jnp.asarray([1e-3, 0.0, 0.0], jnp.float32)
+    new, state = O.apply_updates(params, grads, state, adam, labels, lrs)
+    new, _ = O.apply_updates(new, grads, state, adam, labels, lrs)
+    assert not np.allclose(np.asarray(new["fusion_model"]["w"]),
+                           np.asarray(params["fusion_model"]["w"]))
+    for g in ("text_extractor", "video_extractor"):
+        np.testing.assert_array_equal(np.asarray(new[g]["w"]),
+                                      np.asarray(params[g]["w"]))
