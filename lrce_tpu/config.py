@@ -95,6 +95,14 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         "byte-exact numerics; TPU-side addition). "
                         "--no-uint8-transfer restores host-side float32",
                    action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--async-checkpoint",
+                   help="Write checkpoints from a background thread: the "
+                        "train loop only pays a device-side param copy, and "
+                        "the device->host fetch + serialization + disk write "
+                        "overlap subsequent steps (TPU-side addition; the "
+                        "reference's torch.save blocks the loop). "
+                        "--no-async-checkpoint restores blocking saves",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--fsdp",
                    help="Shard parameters + optimizer state ZeRO-style over "
                         "an fsdp mesh axis of this size; the batch shards "

@@ -348,6 +348,7 @@ class AgentBase:
             if (i + 1) % self.args.ckpt_interval == 0 or i == self.args.epoch - 1:
                 self.save_checkpoint(i + 1)
             self.logger.info("Epoch complete\n")
+        self.finish_pending_checkpoint()
         self.logger.info(f"Best result was seen in epoch {self.best_epoch}")
 
     def do_sanity_check(self, dl):
@@ -399,16 +400,54 @@ class AgentBase:
                 self.args.ckpt_dir,
                 C.checkpoint_name(epoch, self.last_loss or 0.0,
                                   self.last_metric_val or 0.0))
-        C.save_checkpoint(
-            ckpt_path, self.params,
-            None if only_model else self.opt_state,
-            None if only_model or self.scheduler is None
-            else self.scheduler.state_dict())
-        self.logger.info(f"Checkpoint saved to {ckpt_path}")
+        opt = None if only_model else self.opt_state
+        sched = (None if only_model or self.scheduler is None
+                 else self.scheduler.state_dict())
+        if not getattr(self.args, "async_checkpoint", False):
+            C.save_checkpoint(ckpt_path, self.params, opt, sched)
+            self.logger.info(f"Checkpoint saved to {ckpt_path}")
+            return
+
+        # Async save: the loop pays only a device-side copy of the state
+        # (donated train steps would otherwise invalidate the buffers a
+        # background reader holds); the device->host fetch, pickling and
+        # disk write happen on a writer thread overlapping later steps.
+        # One writer at a time: a new save (e.g. best.pt every improved
+        # validation) first joins the previous, and do_training joins the
+        # last one before returning, so a completed run never holds an
+        # unfinished file (writes go through save_checkpoint's tmp+rename).
+        self.finish_pending_checkpoint()
+        # ONE jitted device-side copy of the whole state tree: per-leaf
+        # .copy() would dispatch ~10^3 separate ops (measured 12.5 s through
+        # the axon tunnel); a single compiled program is one dispatch. No
+        # donation, so XLA cannot alias outputs onto the live buffers —
+        # the donation-safety test asserts this empirically.
+        if getattr(self, "_snap_fn", None) is None:
+            self._snap_fn = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        snap_p, snap_o = self._snap_fn((self.params, opt))
+
+        def _write():
+            C.save_checkpoint(ckpt_path, snap_p, snap_o, sched)
+            self.logger.info(f"Checkpoint saved to {ckpt_path}")
+
+        import threading
+
+        self._ckpt_thread = threading.Thread(
+            target=_write, name="lrce-ckpt-writer", daemon=True)
+        self._ckpt_thread.start()
+
+    def finish_pending_checkpoint(self):
+        """Join the background checkpoint writer, if one is in flight."""
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
 
     def load_checkpoint(self, ckpt_path: str, only_model: Optional[bool] = None):
         if only_model is None:
             only_model = not getattr(self.args, "save_full_state", False)
+        self.finish_pending_checkpoint()  # the file may still be writing
         ckpt = C.load_checkpoint(ckpt_path)
         self.params = self._put_params(
             jax.tree_util.tree_map(jnp.asarray, ckpt["model_state_dict"]))

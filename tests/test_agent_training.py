@@ -255,3 +255,36 @@ def test_data_parallel_mesh_step():
     # and a train step executes with sharded batch + replicated params
     loss, c, t = agent8.step(*batch, is_train=True)
     assert np.isfinite(loss)
+
+
+def test_async_checkpoint_survives_donation(tmp_path):
+    """The background writer must snapshot device state BEFORE the next
+    donated train step invalidates the live param/opt buffers; the file on
+    disk must hold exactly the state at save time, not post-step state."""
+    cfg = tiny_cfg("oe")
+    params = E.e2e_init(jax.random.PRNGKey(0), cfg)
+    args = make_args(log_dir=str(tmp_path), async_checkpoint=True,
+                     save_full_state=True)
+    agent = AgentOE(cfg, params, args, log_enabled=True)
+    batch = synth_batch(cfg)
+    agent.step(*batch, is_train=True)
+    at_save = jax.tree_util.tree_map(np.asarray, agent.params)
+
+    agent.save_checkpoint(1, "async")       # background write begins
+    agent.step(*batch, is_train=True)       # donates the old buffers
+    agent.finish_pending_checkpoint()
+    agent.finish_pending_checkpoint()       # idempotent
+
+    from lrce_tpu.utils import checkpoint as C
+
+    import os
+    ck = C.load_checkpoint(os.path.join(agent.args.ckpt_dir, "async.pt"))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        at_save, ck["model_state_dict"])
+    assert "optimizer_state_dict" in ck     # --save-full-state honored
+    # and the loop state moved on: live params differ from the snapshot
+    moved = jax.tree_util.tree_map(np.asarray, agent.params)
+    flat_a = np.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(at_save)])
+    flat_m = np.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(moved)])
+    assert not np.array_equal(flat_a, flat_m)
