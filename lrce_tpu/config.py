@@ -95,6 +95,14 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         "byte-exact numerics; TPU-side addition). "
                         "--no-uint8-transfer restores host-side float32",
                    action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--ckpt-steps",
+                   help="Also checkpoint a rolling weights/latest.pt every N "
+                        "optimizer steps (0 = off). For long epochs on "
+                        "preemptible capacity: combined with the async "
+                        "writer the loop pays ~one device copy per save, "
+                        "and --model-path <...>/latest.pt resumes mid-epoch "
+                        "state (TPU-side addition)",
+                   default=0, type=int)
     p.add_argument("--async-checkpoint",
                    help="Write checkpoints from a background thread: the "
                         "train loop only pays a device-side param copy, and "

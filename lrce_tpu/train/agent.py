@@ -304,6 +304,12 @@ class AgentBase:
                 drain(pending)
             pending = (out, ctr, lrs_snap)
             if is_train:
+                every = getattr(self.args, "ckpt_steps", 0)
+                if every and self.counter % every == 0:
+                    # rolling fault-tolerance checkpoint (async by default:
+                    # ~one device copy on the loop; tmp+rename keeps the
+                    # previous latest.pt intact until the new one is whole)
+                    self.save_checkpoint(epoch + 1, "latest")
                 yield i
 
         if pending is not None:

@@ -288,3 +288,28 @@ def test_async_checkpoint_survives_donation(tmp_path):
     flat_a = np.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(at_save)])
     flat_m = np.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(moved)])
     assert not np.array_equal(flat_a, flat_m)
+
+
+def test_step_interval_rolling_checkpoint(tmp_path):
+    """--ckpt-steps N writes a rolling weights/latest.pt every N optimizer
+    steps (fault tolerance on preemptible capacity); the file is loadable
+    and --save-full-state content rides along."""
+    cfg = tiny_cfg("oe")
+    args = make_args(log_dir=str(tmp_path), ckpt_steps=2, epoch=1,
+                     async_checkpoint=True, save_full_state=True)
+    agent = AgentOE(cfg, E.e2e_init(jax.random.PRNGKey(0), cfg), args,
+                    log_enabled=True)
+    batches = [synth_batch(cfg, seed=s) for s in range(5)]
+    from collections import deque
+    deque(agent.process_data(ListLoader(batches), True, 0), maxlen=0)
+    agent.finish_pending_checkpoint()
+
+    import os
+    path = os.path.join(agent.args.ckpt_dir, "latest.pt")
+    assert os.path.exists(path)
+    from lrce_tpu.utils import checkpoint as C
+    ck = C.load_checkpoint(path)
+    assert "optimizer_state_dict" in ck
+    agent2 = AgentOE(cfg, E.e2e_init(jax.random.PRNGKey(9), cfg), args,
+                     log_enabled=False)
+    agent2.load_checkpoint(path)   # structurally compatible
