@@ -133,8 +133,12 @@ def bert_encode(params: dict, input_ids: jnp.ndarray,
                 token_type_ids: Optional[jnp.ndarray] = None,
                 cfg: BertConfig = BERT_BASE, *, deterministic: bool = True,
                 rng: Optional[jax.Array] = None,
-                compute_dtype=jnp.float32) -> jnp.ndarray:
-    """(B, L) token ids -> (B, L, hidden) last hidden state."""
+                compute_dtype=jnp.float32, mesh=None) -> jnp.ndarray:
+    """(B, L) token ids -> (B, L, hidden) last hidden state.
+
+    mesh: optional Mesh with a 'model' axis — pins each scanned layer's
+    param slice to its tensor-parallel sharding (parallel/sharding.py
+    constrain_layer_tp), keeping the scan free of resharding permutes."""
     b, s = input_ids.shape
     emb = params["embeddings"]
     x = emb["word"][input_ids]
@@ -155,6 +159,9 @@ def bert_encode(params: dict, input_ids: jnp.ndarray,
 
     def body(h, xs):
         layer_params, idx = xs
+        if mesh is not None:
+            from lrce_tpu.parallel.sharding import constrain_layer_tp
+            layer_params = constrain_layer_tp(layer_params, mesh)
         lrng = None if r_layers is None else jax.random.fold_in(r_layers, idx)
         return bert_layer(layer_params, h, bias, cfg, deterministic, lrng), None
 

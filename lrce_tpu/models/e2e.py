@@ -81,12 +81,16 @@ def e2e_init(rng, cfg: E2EConfig, dtype=jnp.float32) -> dict:
 def extract_video_features(params: dict, video_clips: jnp.ndarray,
                            cfg: E2EConfig, *, deterministic: bool = True,
                            rng: Optional[jax.Array] = None,
-                           compute_dtype=jnp.float32) -> jnp.ndarray:
+                           compute_dtype=jnp.float32,
+                           mesh=None) -> jnp.ndarray:
     """(B, n_clips, T, H, W, 3) channels-last uint8/float clips ->
     (B, n_clips, ceil(T/2), H/32 * W/32, 1024).
 
     Normalization + Swin on all clips batched together (vs the reference's
-    per-clip Python loop, video.py:28-43).
+    per-clip Python loop, video.py:28-43). With a >1-device mesh, the Swin
+    tower runs under jax.shard_map over the batch axes so the Pallas
+    kernels receive per-shard operands with no GSPMD repartitioning
+    (lrce_tpu/parallel/swin_shard.py).
     """
     b, n_clips, t, h, w, c = video_clips.shape
     if video_clips.dtype == jnp.uint8:
@@ -101,8 +105,11 @@ def extract_video_features(params: dict, video_clips: jnp.ndarray,
     x = (x - mean) / std
 
     x = x.reshape(b * n_clips, t, h, w, c)
-    feats = S.swin_forward(params, x, cfg.swin, deterministic=deterministic,
-                           rng=rng)  # (b*S, T', h', w', 1024)
+    from lrce_tpu.parallel.swin_shard import swin_forward_sharded
+
+    feats = swin_forward_sharded(params, x, cfg.swin, mesh=mesh,
+                                 deterministic=deterministic,
+                                 rng=rng)  # (b*S, T', h', w', 1024)
     _, tp, hp, wp, cdim = feats.shape
     return feats.reshape(b, n_clips, tp, hp * wp, cdim)
 
@@ -112,7 +119,7 @@ def extract_text_features(params: dict, texts: jnp.ndarray,
                           token_type_ids: jnp.ndarray, cfg: E2EConfig, *,
                           deterministic: bool = True,
                           rng: Optional[jax.Array] = None,
-                          compute_dtype=jnp.float32) -> jnp.ndarray:
+                          compute_dtype=jnp.float32, mesh=None) -> jnp.ndarray:
     """(B, L) or (B, total_mc, L) token ids -> last hidden states.
 
     MC inputs flatten choices into the batch (reference e2e.py:77-81)."""
@@ -122,21 +129,23 @@ def extract_text_features(params: dict, texts: jnp.ndarray,
                             attention_mask.reshape(b * m, l),
                             token_type_ids.reshape(b * m, l), cfg.bert,
                             deterministic=deterministic, rng=rng,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, mesh=mesh)
         return out.reshape(b, m, l, -1)
     return B.bert_encode(params, texts, attention_mask, token_type_ids,
                          cfg.bert, deterministic=deterministic, rng=rng,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, mesh=mesh)
 
 
 def e2e_forward(params: dict, video_clips: jnp.ndarray, texts: jnp.ndarray,
                 texts_attention_mask: jnp.ndarray,
                 texts_type_ids: jnp.ndarray, cfg: E2EConfig, *,
                 deterministic: bool = True, rng: Optional[jax.Array] = None,
-                compute_dtype=jnp.float32) -> jnp.ndarray:
+                compute_dtype=jnp.float32, mesh=None) -> jnp.ndarray:
     """Full forward: clips + question tokens -> task logits.
 
     Output: (B, num_classes) for oe, (B, 5) for mc, (B,) for count.
+    mesh: optional jax.sharding.Mesh — routes the Swin tower through
+    shard_map over the batch axes (see extract_video_features).
     """
     if video_clips.ndim != 6:
         raise ValueError(
@@ -157,15 +166,16 @@ def e2e_forward(params: dict, video_clips: jnp.ndarray, texts: jnp.ndarray,
                             else (None, None, None))
     video_features = extract_video_features(
         params["video_extractor"], video_clips, cfg,
-        deterministic=deterministic, rng=r_vid, compute_dtype=compute_dtype)
+        deterministic=deterministic, rng=r_vid, compute_dtype=compute_dtype,
+        mesh=mesh)
     text_features = extract_text_features(
         params["text_extractor"], texts, texts_attention_mask, texts_type_ids,
         cfg, deterministic=deterministic, rng=r_txt,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, mesh=mesh)
 
     head = params["fusion_model"]
     kw = dict(dropout_rate=cfg.drop_out_rate, deterministic=deterministic,
-              rng=r_fuse)
+              rng=r_fuse, mesh=mesh)
     if cfg.task_type == "oe":
         return F.lrce_open_ended(head, video_features, text_features,
                                  texts_attention_mask, **kw)

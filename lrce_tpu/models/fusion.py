@@ -97,12 +97,20 @@ def _stack_layers(layer_list: List[dict]) -> dict:
 def decoder_stack(layers: dict, tgt: jnp.ndarray, memory: jnp.ndarray, *,
                   num_heads: int = NUM_HEADS, dropout_rate: float = 0.1,
                   deterministic: bool = True,
-                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Run the stacked 12-layer decoder via lax.scan."""
+                  rng: Optional[jax.Array] = None, mesh=None) -> jnp.ndarray:
+    """Run the stacked 12-layer decoder via lax.scan.
+
+    mesh: optional Mesh with a 'model' axis — pins each scanned layer's
+    param slice to its TP sharding so neither the forward slice nor the
+    backward grad-stacking reshard (parallel/sharding.py
+    constrain_layer_tp)."""
     n = jax.tree_util.tree_leaves(layers)[0].shape[0]
 
     def body(x, xs):
         layer_params, idx = xs
+        if mesh is not None:
+            from lrce_tpu.parallel.sharding import constrain_layer_tp
+            layer_params = constrain_layer_tp(layer_params, mesh)
         layer_rng = None if rng is None else jax.random.fold_in(rng, idx)
         y = decoder_layer(layer_params, x, memory, num_heads=num_heads,
                           dropout_rate=dropout_rate,
@@ -135,7 +143,8 @@ def fusion_transformer(params: dict, video_features: jnp.ndarray,
                        texts_attention_mask: Optional[jnp.ndarray] = None, *,
                        num_heads: int = NUM_HEADS, dropout_rate: float = 0.1,
                        deterministic: bool = True,
-                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                       rng: Optional[jax.Array] = None,
+                       mesh=None) -> jnp.ndarray:
     """Fold the summarization token over clips.
 
     Args:
@@ -162,7 +171,8 @@ def fusion_transformer(params: dict, video_features: jnp.ndarray,
                              else tuple(jax.random.split(step_rng)))
         res = decoder_stack(params["layers"], token, memory,
                             num_heads=num_heads, dropout_rate=dropout_rate,
-                            deterministic=deterministic, rng=dec_rng)
+                            deterministic=deterministic, rng=dec_rng,
+                            mesh=mesh)
         token = layer_norm(params["fusion_layer_norm"], token + res, eps=LN_EPS)
         token = dropout(drop_rng, token, dropout_rate, deterministic)
         return token, None
@@ -217,7 +227,7 @@ def lrce_open_ended(params: dict, video_features: jnp.ndarray,
                     text_features: jnp.ndarray,
                     texts_attention_mask: Optional[jnp.ndarray] = None, *,
                     dropout_rate: float = 0.1, deterministic: bool = True,
-                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                    rng: Optional[jax.Array] = None, mesh=None) -> jnp.ndarray:
     """(B, n_clips, T, HW, video_dim) x (B, L, D) -> (B, num_classes)."""
     batch = video_features.shape[0]
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
@@ -226,7 +236,7 @@ def lrce_open_ended(params: dict, video_features: jnp.ndarray,
     summarized = fusion_transformer(
         params["fusion_transformer"], video_features, text_features,
         texts_attention_mask, dropout_rate=dropout_rate,
-        deterministic=deterministic, rng=r2)
+        deterministic=deterministic, rng=r2, mesh=mesh)
     out = dense(params["final_fc"], summarized[:, 0, :])
     return out.reshape(batch, -1)
 
@@ -249,7 +259,8 @@ def lrce_multiple_choice(params: dict, video_features: jnp.ndarray,
                          text_features: jnp.ndarray,
                          texts_attention_mask: Optional[jnp.ndarray] = None, *,
                          dropout_rate: float = 0.1, deterministic: bool = True,
-                         rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                         rng: Optional[jax.Array] = None,
+                         mesh=None) -> jnp.ndarray:
     """video (B, S, T, HW, Dv) x text (B, total_mc, L, D) -> (B, total_mc).
 
     QA pairs are flattened into the batch axis and the video tokens are
@@ -270,7 +281,7 @@ def lrce_multiple_choice(params: dict, video_features: jnp.ndarray,
     summarized = fusion_transformer(
         params["fusion_transformer"], video_features, text_features,
         texts_attention_mask, dropout_rate=dropout_rate,
-        deterministic=deterministic, rng=r2)
+        deterministic=deterministic, rng=r2, mesh=mesh)
     out = dense(params["final_fc"], summarized[:, 0, :])
     return out.reshape(batch, total_mc)
 
@@ -291,10 +302,10 @@ def lrce_count(params: dict, video_features: jnp.ndarray,
                text_features: jnp.ndarray,
                texts_attention_mask: Optional[jnp.ndarray] = None, *,
                dropout_rate: float = 0.1, deterministic: bool = True,
-               rng: Optional[jax.Array] = None) -> jnp.ndarray:
+               rng: Optional[jax.Array] = None, mesh=None) -> jnp.ndarray:
     """Scalar repetition-count regression with ReLU: (B,)."""
     batch = video_features.shape[0]
     out = lrce_open_ended(params, video_features, text_features,
                           texts_attention_mask, dropout_rate=dropout_rate,
-                          deterministic=deterministic, rng=rng)
+                          deterministic=deterministic, rng=rng, mesh=mesh)
     return jax.nn.relu(out.reshape(batch))

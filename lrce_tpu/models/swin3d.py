@@ -54,6 +54,15 @@ class SwinConfig(NamedTuple):
     # recompute for activation memory at large training batches; the
     # reference's use_checkpoint analogue (video_swin_ori.py:295-303)
     remat: bool = False
+    # run the fused Pallas kernels in interpret mode even off-TPU: the
+    # kernels execute as compiled XLA programs on CPU, so the multi-chip
+    # dryrun / tests can exercise the production composition (Pallas x
+    # sharded mesh) without 8 physical chips
+    pallas_interpret: bool = False
+    # select the real (Mosaic) kernels even when the current backend is not
+    # TPU — for AOT lowering/export tests that serialize the TPU program on
+    # a CPU host (the Mosaic MLIR is backend-independent at trace time)
+    pallas_force: bool = False
 
 
 SWIN_BASE = SwinConfig()
@@ -284,7 +293,7 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
                window: Tuple[int, int, int], shift: Tuple[int, int, int],
                rel_index: jnp.ndarray, mask: Optional[jnp.ndarray],
                dp_rate, deterministic: bool, rng: Optional[jax.Array],
-               use_pallas=False) -> jnp.ndarray:
+               use_pallas=False, interpret: bool = False) -> jnp.ndarray:
     """One Swin block on (B, D, H, W, C): W-MSA / SW-MSA + MLP, post-pad to
     window multiples, optional cyclic shift (reference video_swin_ori.py:248-306).
 
@@ -357,7 +366,7 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
                 p["norm2"]["scale"], p["norm2"]["bias"],
                 p["mlp"]["fc1"]["w"].astype(dt), p["mlp"]["fc1"]["b"],
                 p["mlp"]["fc2"]["w"].astype(dt), p["mlp"]["fc2"]["b"],
-                dp1, dp2, window, num_heads, LN_EPS)
+                dp1, dp2, window, num_heads, LN_EPS, interpret)
             if shifted:
                 y = jnp.roll(y, shift=shift, axis=(1, 2, 3))
             return y
@@ -368,7 +377,7 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
             y, p["norm1"]["scale"], p["norm1"]["bias"],
             p["attn"]["qkv"]["w"].astype(dt), p["attn"]["qkv"]["b"],
             p["attn"]["proj"]["w"].astype(dt), p["attn"]["proj"]["b"],
-            rel_bias, mask5, window, num_heads, LN_EPS)
+            rel_bias, mask5, window, num_heads, LN_EPS, interpret)
         if shifted:
             y = jnp.roll(y, shift=shift, axis=(1, 2, 3))
     else:
@@ -411,25 +420,35 @@ def patch_merging(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return dense(p["reduction"], x)
 
 
-def _pallas_supported(x_shape, window, max_dim: int = 512):
+def _pallas_supported(x_shape, window, max_dim: int = 512,
+                      interpret: bool = False, force: bool = False):
     """Pick the fused-attention kernel for this stage: False (XLA path),
     "full" (whole-C kernel, C <= max_dim), or "hsplit" (head-group-split
     kernel for wider stages whose weights exceed one program's VMEM).
-    Requires TPU, window-aligned dims (no pad), and lane-aligned C."""
+    Requires TPU, window-aligned dims (no pad), and lane-aligned C.
+
+    interpret=True (SwinConfig.pallas_interpret) runs the same kernels via
+    the Pallas interpreter on any backend: the TPU check and the Mosaic
+    lane-alignment requirement are waived (only window divisibility stays,
+    the kernels never pad), so CPU-mesh dryruns execute the real kernel
+    code under multi-device sharding."""
     import os
 
     if os.environ.get("LRCE_TPU_DISABLE_PALLAS"):
         return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
-        return False
     b, d, h, w, c = x_shape
-    # c must be lane-aligned (128) for the kernel's in-register reshapes
-    if not (d % window[0] == 0 and h % window[1] == 0 and w % window[2] == 0
-            and c % 128 == 0):
+    if not (d % window[0] == 0 and h % window[1] == 0 and w % window[2] == 0):
         return False
+    if not interpret:
+        if not force:
+            try:
+                if jax.default_backend() != "tpu":
+                    return False
+            except Exception:
+                return False
+        # c must be lane-aligned (128) for Mosaic's in-register reshapes
+        if c % 128 != 0:
+            return False
     if c <= max_dim:
         return "full"
     if os.environ.get("LRCE_TPU_FULL_STAGE3"):
@@ -440,6 +459,72 @@ def _pallas_supported(x_shape, window, max_dim: int = 512):
     if os.environ.get("LRCE_TPU_DISABLE_HSPLIT"):
         return False
     return "hsplit"
+
+
+def _pair_mode(c: int, shifted: bool, use_pallas) -> Optional[str]:
+    """Route a (W-MSA, SW-MSA) pair through the full-spatial kernel
+    (ops/pallas_swin_pair.py): "pair" fuses both blocks and the cyclic shift
+    into one program (both blocks' weights fit VMEM through C=256); at C=512
+    the weights of two blocks exceed one program's budget, so only the
+    SHIFTED block goes full-spatial ("shifted_only") — that still deletes
+    the two XLA roll passes each way, the dominant remaining HBM cost."""
+    import os
+
+    if use_pallas != "full" or not shifted:
+        return None
+    if os.environ.get("LRCE_TPU_DISABLE_PAIR"):
+        return None
+    if c <= 256:
+        return "pair"
+    if c <= 512:
+        return "shifted_only"
+    return None
+
+
+def _call_pair(p_stk, y, *, window, shifts, rel_index, mask5, rates, rngs,
+               num_heads, deterministic, interpret) -> jnp.ndarray:
+    """Invoke the full-spatial kernel on k stacked blocks.
+
+    p_stk: block params stacked on a leading k axis; shifts: static
+    per-block shift tuples; rngs: per-block keys (or None) — drop_path
+    draws use the exact keys/shapes the per-block paths would
+    (swin_block: r1, r2 = split(rng); bernoulli(r, keep, (B, 1)))."""
+    from lrce_tpu.ops.pallas_swin_pair import fused_swin_pair
+
+    b = y.shape[0]
+    dt = y.dtype
+    k = len(shifts)
+    bias = p_stk["attn"]["rel_table"].astype(jnp.float32)[:, rel_index]
+    bias = bias.transpose(0, 3, 1, 2)            # (k, nH, N, N)
+
+    # rates are scan-carried tracers, so activity can't be value-tested at
+    # trace time — mirror swin_block's rule: active iff training with a key
+    # (a zero rate then draws keep-everything multipliers, same as the
+    # per-block paths)
+    has_dp = not deterministic and rngs[0] is not None
+    if has_dp:
+        dp1_l, dp2_l = [], []
+        for i in range(k):
+            keep = 1.0 - rates[i]
+            ra, rb = jax.random.split(rngs[i])
+            dp1_l.append(jax.random.bernoulli(ra, keep, (b, 1))
+                         .astype(jnp.float32) / keep)
+            dp2_l.append(jax.random.bernoulli(rb, keep, (b, 1))
+                         .astype(jnp.float32) / keep)
+        dp1 = jnp.stack(dp1_l)[:, :, 0]          # (k, B)
+        dp2 = jnp.stack(dp2_l)[:, :, 0]
+    else:
+        dp1 = dp2 = jnp.ones((1, 1), jnp.float32)
+
+    return fused_swin_pair(
+        y, p_stk["norm1"]["scale"], p_stk["norm1"]["bias"],
+        p_stk["attn"]["qkv"]["w"].astype(dt), p_stk["attn"]["qkv"]["b"],
+        p_stk["attn"]["proj"]["w"].astype(dt), p_stk["attn"]["proj"]["b"],
+        bias, mask5,
+        p_stk["norm2"]["scale"], p_stk["norm2"]["bias"],
+        p_stk["mlp"]["fc1"]["w"].astype(dt), p_stk["mlp"]["fc1"]["b"],
+        p_stk["mlp"]["fc2"]["w"].astype(dt), p_stk["mlp"]["fc2"]["b"],
+        dp1, dp2, window, num_heads, shifts, LN_EPS, interpret, has_dp)
 
 
 def swin_stage(stage_params: dict, x: jnp.ndarray, *, depth: int,
@@ -454,7 +539,9 @@ def swin_stage(stage_params: dict, x: jnp.ndarray, *, depth: int,
     dp = int(np.ceil(d / window[0])) * window[0]
     hp = int(np.ceil(h / window[1])) * window[1]
     wp = int(np.ceil(w / window[2])) * window[2]
-    use_pallas = _pallas_supported(x.shape, window)
+    use_pallas = _pallas_supported(x.shape, window,
+                                   interpret=cfg.pallas_interpret,
+                                   force=cfg.pallas_force)
 
     rel_idx_np = relative_position_index(cfg.window_size)
     n = window[0] * window[1] * window[2]
@@ -473,19 +560,41 @@ def swin_stage(stage_params: dict, x: jnp.ndarray, *, depth: int,
         stage_params["blocks"])
     rate_pairs = jnp.asarray(np.asarray(dp_rates, np.float32)).reshape(-1, 2)
 
+    pair_mode = _pair_mode(c, shifted, use_pallas)
+    nd_, nh_, nw_ = dp // window[0], hp // window[1], wp // window[2]
+    mask5 = (mask.reshape(nd_, nh_, nw_, n, n) if shifted and mask is not None
+             else jnp.zeros((1, 1, 1, 1, 1), jnp.float32))
+
     def pair_fn(y, pair_params, rates, idx):
         p0 = jax.tree_util.tree_map(lambda t: t[0], pair_params)
         p1 = jax.tree_util.tree_map(lambda t: t[1], pair_params)
         r0 = None if rng is None else jax.random.fold_in(rng, 2 * idx)
         r1 = None if rng is None else jax.random.fold_in(rng, 2 * idx + 1)
+        if pair_mode == "pair":
+            # whole (W, SW) pair + cyclic shift in ONE full-spatial kernel:
+            # 2 HBM passes instead of 8 (ops/pallas_swin_pair.py)
+            return _call_pair(
+                pair_params, y, window=window, shifts=((0, 0, 0), shift),
+                rel_index=rel_index, mask5=mask5, rates=rates, rngs=(r0, r1),
+                num_heads=num_heads, deterministic=deterministic,
+                interpret=cfg.pallas_interpret)
         y = swin_block(p0, y, num_heads=num_heads, window=window,
                        shift=(0, 0, 0), rel_index=rel_index, mask=None,
                        dp_rate=rates[0], deterministic=deterministic, rng=r0,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, interpret=cfg.pallas_interpret)
+        if pair_mode == "shifted_only":
+            # SW block full-spatial with the roll in VMEM: deletes the four
+            # XLA roll passes (two each way) around the block kernel
+            p1_stk = jax.tree_util.tree_map(lambda t: t[1:2], pair_params)
+            return _call_pair(
+                p1_stk, y, window=window, shifts=(shift,),
+                rel_index=rel_index, mask5=mask5, rates=rates[1:],
+                rngs=(r1,), num_heads=num_heads, deterministic=deterministic,
+                interpret=cfg.pallas_interpret)
         y = swin_block(p1, y, num_heads=num_heads, window=window, shift=shift,
                        rel_index=rel_index, mask=mask if shifted else None,
                        dp_rate=rates[1], deterministic=deterministic, rng=r1,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, interpret=cfg.pallas_interpret)
         return y
 
     if cfg.remat:

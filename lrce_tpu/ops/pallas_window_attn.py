@@ -505,7 +505,14 @@ def _pick_bwd_chunks(c: int, num_heads: int, dtype) -> int:
     Mosaic compiler outright on the chunk-width reshape (reproduced
     on-chip: compile-helper subprocess exit 1, not a graceful error)."""
     f32 = jnp.dtype(dtype).itemsize > 2
-    if c >= 256:
+    if c >= 1024:
+        # stage3: the dominant accumulator is dWqkv (C, 3C/chunks) f32 —
+        # 6.3 MB at 2 chunks leaves the live set ~36 KB over the default
+        # budget at 48-clip train steps (PERF.md "Known headroom", now
+        # closed); 4 chunks cost no extra recompute (qkv columns and
+        # softmax heads partition exactly) and sit at ~8 MB
+        want = 8 if f32 else 4
+    elif c >= 256:
         want = 4 if f32 else 2
     else:
         want = 2 if f32 else 1
@@ -855,9 +862,11 @@ def fused_window_attention_hsplit(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w,
     """Head-split fused LN1 + window attention + proj for channel widths
     whose weights exceed the single-program VMEM budget (C > 512).
 
-    Same contract as fused_window_attention. The backward differentiates
-    the XLA-equivalent computation (the op covers only the 2 stage3 blocks,
-    so a hand-written dgrad kernel is not worth its VMEM pressure there).
+    Same contract as fused_window_attention — including the backward: the
+    head-chunked flash-style Pallas backward is forward-kernel-agnostic
+    (it recomputes LN/qkv/softmax per head chunk from the residuals), so
+    stage3 trains through the same fused dgrad as every other stage, with
+    chunking sized for C=1024 (_pick_bwd_chunks).
     """
     return _hsplit_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w,
                             proj_b, rel_bias, mask, window=window,
@@ -875,12 +884,18 @@ def _hsplit_fwd(x, ln_scale, ln_bias, qkv_w, qkv_b, proj_w, proj_b, rel_bias,
 
 
 def _hsplit_bwd(window, num_heads, ln_eps, interpret, res, g):
-    def f(*args):
-        return _xla_equivalent(*args, window=window, num_heads=num_heads,
-                               ln_eps=ln_eps)
+    # The chunked Pallas backward implements the OP's math, not a specific
+    # forward kernel, so the hsplit forward shares it (round-3 verdict
+    # next-step #4: the last XLA-VJP remnant in the train backbone).
+    if XLA_BWD:
+        def f(*args):
+            return _xla_equivalent(*args, window=window, num_heads=num_heads,
+                                   ln_eps=ln_eps)
 
-    _, vjp = jax.vjp(f, *res)
-    return vjp(g)
+        _, vjp = jax.vjp(f, *res)
+        return vjp(g)
+    return _pallas_bwd_impl(*res, g, window=window, num_heads=num_heads,
+                            ln_eps=ln_eps, interpret=interpret)
 
 
 fused_window_attention_hsplit.defvjp(_hsplit_fwd, _hsplit_bwd)

@@ -82,6 +82,47 @@ def _spec_for(path: str, ndim: int, model_axis: str) -> P:
     return P()
 
 
+def constrain_layer_tp(layer_params: Any, mesh: Mesh,
+                       model_axis: str = "model") -> Any:
+    """Pin one scan iteration's per-layer param slice to its TP sharding.
+
+    Called inside the `lax.scan` bodies that fold stacked encoder/decoder
+    layers (models/bert.py, models/fusion.py). Without the constraint GSPMD
+    places the per-iteration `dynamic-slice` of a TP-sharded stacked weight
+    on the wrong 'model' shard, and — worse — the transpose accumulates the
+    per-layer gradient into the stacked buffer through pairwise
+    collective-permute swaps on EVERY scan iteration (8 permutes/iter
+    observed in the compiled train step on a ('data','fsdp','model') mesh).
+    Those permutes are pure resharding waste on ICI, and their mixed
+    participant sets (pair all-gathers racing whole-mesh permutes) are the
+    exact pattern that deadlocks XLA:CPU's in-process collective rendezvous
+    on the virtual test mesh. Constraining the slice to the spec its
+    stacked parent already has (minus the leading layer axis) removes them
+    at the source.
+
+    Only leaves the TP rules actually shard are constrained; everything
+    else (incl. fsdp-only leaves) is left to GSPMD. No-op without a >1
+    'model' axis.
+    """
+    if (mesh is None or model_axis not in mesh.axis_names
+            or mesh.shape[model_axis] <= 1):
+        return layer_params
+    size = mesh.shape[model_axis]
+
+    def one(path, leaf):
+        spec = _spec_for(_path_str(path), leaf.ndim, model_axis)
+        full = list(spec) + [None] * (leaf.ndim - len(spec))
+        if all(a is None for a in full):
+            return leaf
+        for i, axis_name in enumerate(full):
+            if axis_name is not None and leaf.shape[i] % size != 0:
+                return leaf
+        return jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, P(*full)))
+
+    return jax.tree_util.tree_map_with_path(one, layer_params)
+
+
 def e2e_param_shardings(params: Any, mesh: Mesh,
                         model_axis: str = "model",
                         fsdp_axis: str = "fsdp") -> Any:

@@ -187,3 +187,41 @@ def test_eval_cli_with_reference_torch_checkpoint(tgif_dir, tmp_path):
          "--model-path", str(ckpt_path), "--batch-size", "2",
          "--num-workers", "1"])
     eval_cli.main(eval_args)  # ingests the torch ckpt and evaluates
+
+
+@pytest.mark.slow
+def test_parity_eval_tool_single_command(tgif_dir, tmp_path):
+    """tools/parity_eval.py: the one-command parity gate converts/loads a
+    checkpoint, evaluates through the real eval CLI path, prints one JSON
+    line, and gates on --expected-accuracy."""
+    import jax
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import parity_eval
+    from lrce_tpu import config as cfg_mod
+    from lrce_tpu.models.e2e import config_from_args, e2e_init_jit
+    from lrce_tpu.utils import checkpoint as C
+
+    eval_args = cfg_mod.parse_arg_eval(
+        ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
+         "--model-path", "unused", "--batch-size", "2",
+         "--num-workers", "1"])
+    params = e2e_init_jit(jax.random.PRNGKey(0), config_from_args(eval_args))
+    ckpt = tmp_path / "model.pt"
+    C.save_checkpoint(str(ckpt), params)
+
+    base = ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
+            "--model-path", str(ckpt), "--batch-size", "2",
+            "--num-workers", "1"]
+    assert parity_eval.main(base) == 0
+    # measured accuracy of an untrained tiny model is ~0-50%; a tolerance of
+    # 100 points always passes, 1e-9 against an impossible target never does
+    assert parity_eval.main(
+        base + ["--expected-accuracy", "0", "--tolerance", "100"]) == 0
+    assert parity_eval.main(
+        base + ["--expected-accuracy", "999", "--tolerance", "1e-9"]) == 1
+    # missing artifact => explicit error code, not a crash
+    assert parity_eval.main(
+        ["--dataset", "tgif-frameqa", "--dataset-dir", str(tgif_dir),
+         "--model-path", str(tmp_path / "absent.pt")]) == 2

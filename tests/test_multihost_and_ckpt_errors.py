@@ -96,6 +96,57 @@ total = jax.jit(lambda a: jnp.sum(a),
 # addressable on every process (replicated output)
 assert float(total.addressable_data(0)) == 3.0, total
 print("DCN_OK", jax.process_index(), flush=True)
+
+# --- one REAL train step across the 2-process mesh -------------------------
+# Exercises the full production loop shape over DCN: donated params/opt
+# buffers, pinned out_shardings, the shard_map'd Swin tower running the
+# REAL fused-kernel code (Pallas interpret mode on CPU), gradient psum
+# across processes, and the single replicated metric read-back.
+import argparse
+from lrce_tpu.models import bert as B
+from lrce_tpu.models import e2e as E
+from lrce_tpu.models import swin3d as S
+from lrce_tpu.train.agent import AgentOE
+
+swin = S.SwinConfig(patch_size=(2, 4, 4), embed_dim=16, depths=(2,),
+                    num_heads=(2,), window_size=(2, 3, 3),
+                    drop_path_rate=0.1, patch_norm=True,
+                    pallas_interpret=True)
+bertc = B.BertConfig(vocab_size=64, hidden_size=24, num_layers=2,
+                     num_heads=2, intermediate_size=48,
+                     max_position_embeddings=16, type_vocab_size=2)
+cfg = E.E2EConfig(feature_dim=24, num_classes=7, drop_out_rate=0.1,
+                  video_feature_res=(6, 6), video_feature_dim=16,
+                  frame_sample_size=4, temporal_scale=(1, 2),
+                  text_seq_len=8, task_type="oe", bert=bertc, swin=swin)
+params = E.e2e_init_jit(jax.random.PRNGKey(0), cfg)
+args = argparse.Namespace(
+    dataset="dcn", log_dir="/tmp/lrce_dcn", ckpt_interval=100, batch_size=1,
+    eval_per_epoch=1, epoch=1, drop_out_rate=0.1, lr=[1e-4] * 3, min_lr=1e-8,
+    temporal_scale=[1, 2], lr_decay_factor=0.5, lr_warm_up=0.1,
+    lr_restart_epoch=2, lr_restart_mul=1, use_cosine_scheduler=True,
+    reg_strength=0.001, num_workers=0, use_hinge_loss=False, debug_mode=True,
+    sanity_check=False)
+agent = AgentOE(cfg, params, args, mesh=mesh, log_enabled=False,
+                compute_dtype=jnp.float32)
+agent.lrs = [1e-4] * 3
+
+bsh = NamedSharding(mesh, P("data"))
+rng2 = np.random.RandomState(3)
+gbatch, host = [], []
+host.append(rng2.rand(2, 3, 4, 24, 24, 3).astype(np.float32))
+host.append(rng2.randint(0, 64, (2, 8)))
+host.append(np.ones((2, 8), np.int64))
+host.append(np.zeros((2, 8), np.int64))
+host.append(rng2.randint(0, 7, (2,)).astype(np.int64))
+pid = jax.process_index()
+for h in host:
+    gbatch.append(jax.make_array_from_process_local_data(
+        bsh, np.ascontiguousarray(h[pid:pid + 1]), h.shape))
+loss, m0, m1 = agent.step(*gbatch, is_train=True)
+assert np.isfinite(loss), loss
+assert m1 == 2.0, (m0, m1)  # metric denominator reduced across processes
+print("DCN_TRAIN_OK", jax.process_index(), loss, flush=True)
 """
 
 
@@ -127,6 +178,10 @@ def test_dcn_rendezvous_two_processes_psum(tmp_path):
             "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(pid),
+            # both children compile the same full train step; a shared
+            # persistent cache makes warm reruns fast and halves the cold
+            # cost (the second process hits the first one's entry)
+            "JAX_COMPILATION_CACHE_DIR": "/tmp/lrce_test_xla_cache",
         })
         procs.append(subprocess.Popen(
             [_sys.executable, str(script)], env=env,
@@ -134,7 +189,9 @@ def test_dcn_rendezvous_two_processes_psum(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            # cold-cache compile of the full train step takes ~150 s alone
+            # on the 1-core CI box; leave generous headroom for load
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     finally:
         for p in procs:
@@ -143,6 +200,56 @@ def test_dcn_rendezvous_two_processes_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"DCN_OK {pid}" in out, out
+        assert f"DCN_TRAIN_OK {pid}" in out, out
+
+
+def _tiny_async_agent(tmp_path, **over):
+    import jax
+
+    from lrce_tpu.models import e2e as E
+    from lrce_tpu.train.agent import AgentOE
+    from tests.test_agent_training import make_args, tiny_cfg
+
+    cfg = tiny_cfg("oe")
+    params = E.e2e_init(jax.random.PRNGKey(0), cfg)
+    args = make_args(log_dir=str(tmp_path / "runs"), async_checkpoint=True,
+                     save_full_state=False, **over)
+    return AgentOE(cfg, params, args, log_enabled=True)
+
+
+def test_async_checkpoint_writer_failure_is_loud(tmp_path):
+    """Round-3 verdict weak #1: a writer-thread exception (disk full,
+    permissions, bad path) must surface — a run that 'completes' having
+    saved nothing is worse than a crash. The error is raised at the next
+    finish_pending_checkpoint/save_checkpoint, not swallowed."""
+    agent = _tiny_async_agent(tmp_path)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("a file where a directory is expected")
+    agent.args.ckpt_dir = str(blocker / "weights")  # open() cannot succeed
+
+    agent.save_checkpoint(1, "latest")  # async: returns immediately
+    with pytest.raises(RuntimeError, match="checkpoint was NOT saved"):
+        agent.finish_pending_checkpoint()
+
+    # error consumed; a save to a good directory then succeeds
+    import os
+
+    good = tmp_path / "weights"
+    good.mkdir()
+    agent.args.ckpt_dir = str(good)
+    agent.save_checkpoint(2, "latest")
+    agent.finish_pending_checkpoint()
+    assert os.path.exists(str(good / "latest.pt"))
+
+
+def test_async_checkpoint_failure_surfaces_on_next_save(tmp_path):
+    agent = _tiny_async_agent(tmp_path)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    agent.args.ckpt_dir = str(blocker / "weights")
+    agent.save_checkpoint(1, "latest")
+    with pytest.raises(RuntimeError, match="checkpoint was NOT saved"):
+        agent.save_checkpoint(2, "latest")  # joins + re-raises first
 
 
 def test_corrupt_native_checkpoint_reports_corruption(tmp_path):
