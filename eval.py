@@ -55,13 +55,9 @@ def main(eval_args) -> None:
                                  num_workers=eval_args.num_workers)
 
     evaluator.do_evaluation(test_dataloader)
-    # expose the evaluator to callers that want the numbers, not the log
-    # (tools/parity_eval.py)
-    global _LAST_AGENT
-    _LAST_AGENT = evaluator
-
-
-_LAST_AGENT = None
+    # returned for callers that want the numbers, not the log
+    # (tools/parity_eval.py); the CLI path ignores it
+    return evaluator
 
 
 if __name__ == "__main__":

@@ -461,24 +461,41 @@ def _pallas_supported(x_shape, window, max_dim: int = 512,
     return "hsplit"
 
 
-def _pair_mode(c: int, shifted: bool, use_pallas) -> Optional[str]:
+def _pair_mode(x_shape, dtype, shifted: bool, use_pallas,
+               interpret: bool = False) -> Optional[str]:
     """Route a (W-MSA, SW-MSA) pair through the full-spatial kernel
     (ops/pallas_swin_pair.py): "pair" fuses both blocks and the cyclic shift
     into one program (both blocks' weights fit VMEM through C=256); at C=512
     the weights of two blocks exceed one program's budget, so only the
     SHIFTED block goes full-spatial ("shifted_only") — that still deletes
-    the two XLA roll passes each way, the dominant remaining HBM cost."""
+    the two XLA roll passes each way, the dominant remaining HBM cost.
+
+    Compile-safe by construction: on real hardware a geometry is only
+    routed when tools/probe_pair_vmem.py has PROVEN it compiles under the
+    default scoped-vmem budget (pallas_swin_pair.PROVEN_TILINGS) — Mosaic's
+    scoped-vmem check happens only at backend compile, so an unproven
+    routing can abort the whole program (BENCH_r04 rc=1). Unproven
+    geometries fall back to the whole-block kernel + XLA rolls.
+    LRCE_TPU_PAIR_FORCE=1 bypasses the proof gate (probing/experiments);
+    interpret mode has no Mosaic budget and routes by size alone."""
     import os
 
     if use_pallas != "full" or not shifted:
         return None
     if os.environ.get("LRCE_TPU_DISABLE_PAIR"):
         return None
-    if c <= 256:
-        return "pair"
-    if c <= 512:
-        return "shifted_only"
-    return None
+    b, d, h, w, c = x_shape
+    mode = "pair" if c <= 256 else ("shifted_only" if c <= 512 else None)
+    if mode is None:
+        return None
+    if interpret or os.environ.get("LRCE_TPU_PAIR_FORCE"):
+        return mode
+    from lrce_tpu.ops.pallas_swin_pair import proven_tiling
+
+    k = 2 if mode == "pair" else 1
+    if proven_tiling(c, d, h, w, k, dtype) is None:
+        return None
+    return mode
 
 
 def _call_pair(p_stk, y, *, window, shifts, rel_index, mask5, rates, rngs,
@@ -560,10 +577,31 @@ def swin_stage(stage_params: dict, x: jnp.ndarray, *, depth: int,
         stage_params["blocks"])
     rate_pairs = jnp.asarray(np.asarray(dp_rates, np.float32)).reshape(-1, 2)
 
-    pair_mode = _pair_mode(c, shifted, use_pallas)
+    pair_mode = _pair_mode(x.shape, x.dtype, shifted, use_pallas,
+                           interpret=cfg.pallas_interpret)
     nd_, nh_, nw_ = dp // window[0], hp // window[1], wp // window[2]
     mask5 = (mask.reshape(nd_, nh_, nw_, n, n) if shifted and mask is not None
              else jnp.zeros((1, 1, 1, 1, 1), jnp.float32))
+    if pair_mode is not None and shifted:
+        # hand the pair kernel the 4-pattern compact mask when the geometry
+        # allows (nd=1, >=2 windows per axis): 2.77 MB -> 173 KB of VMEM at
+        # flagship stage0 (ops/pallas_swin_pair.compact_shift_mask_np).
+        # On real hardware only when the PROVEN entry was measured with it
+        # (5th tuple slot) — the shipped kernel must be the probed kernel;
+        # interpret mode always compacts so CPU tests/dryruns cover the path.
+        from lrce_tpu.ops.pallas_swin_pair import (compact_shift_mask_np,
+                                                   proven_tiling)
+
+        pt = (None if cfg.pallas_interpret else
+              proven_tiling(c, dp, hp, wp, 2 if pair_mode == "pair" else 1,
+                            x.dtype))
+        if cfg.pallas_interpret or (pt is not None and len(pt) > 4
+                                    and pt[4]):
+            cm = compact_shift_mask_np(
+                np.asarray(compute_shift_mask((dp, hp, wp), window, shift))
+                .reshape(nd_, nh_, nw_, n, n))
+            if cm is not None:
+                mask5 = jnp.asarray(cm)
 
     def pair_fn(y, pair_params, rates, idx):
         p0 = jax.tree_util.tree_map(lambda t: t[0], pair_params)

@@ -55,10 +55,13 @@ def swin_forward_sharded(params: dict, x: jnp.ndarray, cfg, *,
 
     x: (B', D, H, W, 3) with B' = batch * n_clips (clips fold into the
     batch axis upstream — lrce_tpu/models/e2e.py extract_video_features).
-    Degrades to the plain call when there is no mesh, the batch axes have
-    size 1, or B' does not divide evenly (GSPMD then handles the step as
-    before — only possible off the training path, whose global batch is
-    constructed divisible).
+    Degrades to the plain call when there is no mesh or the batch axes have
+    size 1. When B' does not divide the batch shards (possible only off the
+    training path, e.g. an eval tail batch), the clip batch is zero-padded
+    to the next shard multiple and the result sliced back — padding keeps
+    the fused Pallas kernels under manual sharding instead of handing the
+    custom calls to GSPMD, which this module exists to avoid (it replicates
+    them behind an activation all-gather or fails to lower).
     """
     from lrce_tpu.models.swin3d import swin_forward
 
@@ -67,9 +70,13 @@ def swin_forward_sharded(params: dict, x: jnp.ndarray, cfg, *,
                             rng=rng)
     axes = batch_axes(mesh)
     n = _batch_shards(mesh)
-    if n <= 1 or x.shape[0] % n != 0:
+    if n <= 1:
         return swin_forward(params, x, cfg, deterministic=deterministic,
                             rng=rng)
+    b_in = x.shape[0]
+    pad = (-b_in) % n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
 
     batch_spec = P(axes, None, None, None, None)
     # Pin the operand's layout to the spec the shard_map consumes: without
@@ -87,10 +94,11 @@ def swin_forward_sharded(params: dict, x: jnp.ndarray, cfg, *,
             return swin_forward(p, xs, cfg, deterministic=deterministic,
                                 rng=None)
 
-        return jax.shard_map(
+        out = jax.shard_map(
             body, mesh=mesh, in_specs=(P(), batch_spec),
             out_specs=batch_spec, axis_names=set(mesh.axis_names),
             check_vma=False)(params, x)
+        return out[:b_in] if pad else out
 
     def body(p, xs, key):
         # independent per-shard randomness (drop_path draws): fold the
@@ -101,7 +109,8 @@ def swin_forward_sharded(params: dict, x: jnp.ndarray, cfg, *,
         key = jax.random.fold_in(key, idx)
         return swin_forward(p, xs, cfg, deterministic=deterministic, rng=key)
 
-    return jax.shard_map(
+    out = jax.shard_map(
         body, mesh=mesh, in_specs=(P(), batch_spec, P()),
         out_specs=batch_spec, axis_names=set(mesh.axis_names),
         check_vma=False)(params, x, rng)
+    return out[:b_in] if pad else out

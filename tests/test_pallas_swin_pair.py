@@ -115,7 +115,8 @@ def test_stage_routes_pairs_and_matches_xla():
     params = S.swin_init(jax.random.PRNGKey(3), cfg)
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 24, 24, 3))
     shifted = any(s for s in (0, 1, 1))
-    assert S._pair_mode(32, shifted, "full") == "pair"
+    assert S._pair_mode((2, 2, 6, 6, 32), jnp.float32, shifted, "full",
+                        interpret=True) == "pair"
     y = S.swin_forward(params, x, cfg)
     y_ref = S.swin_forward(params, x, cfg._replace(pallas_interpret=False))
     assert float(jnp.max(jnp.abs(y - y_ref))) < 2e-5
@@ -129,7 +130,7 @@ def test_stage_shifted_only_mode_matches_xla(monkeypatch):
     real = S2._pair_mode
     monkeypatch.setattr(
         S2, "_pair_mode",
-        lambda c, shifted, up: "shifted_only" if real(c, shifted, up) else None)
+        lambda *a, **kw: "shifted_only" if real(*a, **kw) else None)
     cfg = S.SwinConfig(patch_size=(2, 4, 4), embed_dim=32, depths=(2,),
                        num_heads=(4,), window_size=(2, 3, 3),
                        drop_path_rate=0.0, patch_norm=True,
@@ -139,3 +140,111 @@ def test_stage_shifted_only_mode_matches_xla(monkeypatch):
     y = S.swin_forward(params, x, cfg)
     y_ref = S.swin_forward(params, x, cfg._replace(pallas_interpret=False))
     assert float(jnp.max(jnp.abs(y - y_ref))) < 2e-5
+
+
+def test_routing_requires_on_chip_proof():
+    """Real-hardware routing is compile-safe by construction: only
+    geometries in PROVEN_TILINGS (measured by tools/probe_pair_vmem.py to
+    compile under the default scoped-vmem budget) may route through the
+    full-spatial kernel. The round-4 regression shapes — flagship stage0
+    (C=128, 56x56) and the kh=2 stage1 tiling — must never route again
+    unless explicitly proven."""
+    bf16 = jnp.bfloat16
+    # flagship stage0: 20.58 MB > 16 MB budget (BENCH_r04) -> must not route
+    assert S._pair_mode((96, 3, 56, 56, 128), bf16, True, "full") is None
+    # flagship stage1 compiles but LOSES to the whole-block path (PERF.md
+    # round 5) -> deliberately not proven-in
+    assert S._pair_mode((96, 3, 28, 28, 256), bf16, True, "full") is None
+    # flagship stage2 IS proven (kh=2, 7-9% win): shifted block full-spatial
+    assert S._pair_mode((96, 3, 14, 14, 512), bf16, True,
+                        "full") == "shifted_only"
+    # f32 doubles the live set and has no proven entry -> must not route
+    assert S._pair_mode((96, 3, 14, 14, 512), jnp.float32, True,
+                        "full") is None
+    # every proven signature's routing resolves to its measured tiling
+    from lrce_tpu.ops.pallas_swin_pair import PROVEN_TILINGS, proven_tiling
+    for (c, d, h, w, k, isz), tiling in PROVEN_TILINGS.items():
+        dt = jnp.bfloat16 if isz == 2 else jnp.float32
+        assert proven_tiling(c, d, h, w, k, dt) == tiling
+
+
+def test_unproven_geometry_falls_back_and_matches(monkeypatch):
+    """Flagship forward must survive the pair kernel being unbuildable at
+    any geometry: with the proven table emptied (every pair routing refused,
+    as for an over-budget tiling), the stage falls back to the whole-block
+    path and still produces the correct output."""
+    import lrce_tpu.ops.pallas_swin_pair as PSP2
+
+    cfg = S.SwinConfig(patch_size=(2, 4, 4), embed_dim=32, depths=(4,),
+                       num_heads=(4,), window_size=(2, 3, 3),
+                       drop_path_rate=0.0, patch_norm=True,
+                       pallas_interpret=True)
+    params = S.swin_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 24, 24, 3))
+    y_pair = S.swin_forward(params, x, cfg)
+
+    # simulate "nothing proven" the way real hardware would see it: the
+    # interpret bypass is disabled so _pair_mode consults the (empty) table
+    monkeypatch.setattr(PSP2, "PROVEN_TILINGS", {})
+    real = S._pair_mode
+    monkeypatch.setattr(
+        S, "_pair_mode",
+        lambda shape, dt, sh, up, interpret=False: real(shape, dt, sh, up,
+                                                        interpret=False))
+    y_fallback = S.swin_forward(params, x, cfg)
+    assert float(jnp.max(jnp.abs(y_fallback - y_pair))) < 2e-5
+
+
+def _impl(x, a, shifts, mask, wc=None):
+    dp = jnp.ones((1, 1), jnp.float32)
+    return PSP._pair_fwd_impl(
+        x, a["ln1s"], a["ln1b"], a["qkv_w"], a["qkv_b"], a["proj_w"],
+        a["proj_b"], a["rel_bias"], mask, a["ln2s"], a["ln2b"], a["w1"],
+        a["b1"], a["w2"], a["b2"], dp, dp, window=WINDOW, num_heads=HEADS,
+        ln_eps=1e-5, shifts=shifts, has_dp=False, interpret=True,
+        win_chunk=wc)
+
+
+def test_compact_mask_and_win_chunk_match_full():
+    """The VMEM diet knobs (4-pattern compact mask, window-chunked
+    attention) must be exact against the full-mask unchunked kernel."""
+    shifts = ((0, 0, 0), SHIFT)
+    x, a = _mk(2, jax.random.PRNGKey(9))
+    cm = PSP.compact_shift_mask_np(np.asarray(a["mask"]))
+    assert cm is not None and cm.shape == (2, 2, N, N)
+    ref = _impl(x, a, shifts, a["mask"])
+    for mask, wc in [(jnp.asarray(cm), None), (jnp.asarray(cm), 1),
+                     (a["mask"], 3)]:
+        got = _impl(x, a, shifts, mask, wc)
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-6
+
+
+def test_compact_mask_grad_matches_full():
+    """fused_swin_pair's custom VJP differentiates the decomposed
+    composition, which must expand the compact mask identically."""
+    shifts = ((0, 0, 0), SHIFT)
+    x, a = _mk(2, jax.random.PRNGKey(10))
+    cm = jnp.asarray(PSP.compact_shift_mask_np(np.asarray(a["mask"])))
+
+    def loss(x, qkv_w, mask):
+        a2 = dict(a, qkv_w=qkv_w, mask=mask)
+        return jnp.sum(_run(PSP.fused_swin_pair, x, a2, shifts) ** 2)
+
+    g_c = jax.grad(loss, argnums=(0, 1))(x, a["qkv_w"], cm)
+    g_f = jax.grad(loss, argnums=(0, 1))(x, a["qkv_w"], a["mask"])
+    for got, want in zip(g_c, g_f):
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 5e-5 * (float(jnp.max(jnp.abs(want))) + 1.0), err
+
+
+def test_compact_mask_rejects_unqualified_geometry():
+    # nd > 1 (d-shifted masks differ along d) and single-window axes must
+    # fall back to the full mask
+    m = np.zeros((2, 2, 3, 4, 4), np.float32)
+    assert PSP.compact_shift_mask_np(m) is None
+    m = np.zeros((1, 1, 3, 4, 4), np.float32)
+    assert PSP.compact_shift_mask_np(m) is None
+    # a non-cyclic pattern (interior windows differing) must be refused
+    m = np.zeros((1, 3, 3, 4, 4), np.float32)
+    m[0, 1, 0, 0, 0] = 1.0
+    assert PSP.compact_shift_mask_np(m) is None

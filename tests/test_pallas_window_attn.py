@@ -183,9 +183,13 @@ def test_hsplit_kernel_matches_xla(kb, group):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_hsplit_vjp_matches_xla_grad():
+@pytest.mark.parametrize("shifted", [False, True])
+def test_hsplit_vjp_matches_xla_grad(shifted):
+    # shifted=True exercises the masked SW-MSA stage3 backward through the
+    # hsplit residuals — the training path since the hsplit op switched
+    # from the XLA VJP to the fused Pallas backward
     inputs, window, heads = setup_case(b=2, d=2, h=6, w=9, c=64, heads=4,
-                                       shifted=False, seed=5)
+                                       shifted=shifted, seed=5)
 
     def loss_pallas(*a):
         out = PW.fused_window_attention_hsplit(*a, window, heads, 1e-5, True)

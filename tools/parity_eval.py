@@ -71,15 +71,11 @@ def main(argv=None) -> int:
 
     import eval as eval_cli
 
-    eval_cli.main(eval_args)
-
-    # main() leaves the evaluator's result on the module-level agent it
-    # built; re-derive from the logger-free surface instead: do_evaluation
-    # stores last_metric_val/last_loss on the agent. eval_cli.main does not
-    # return it, so we re-run the lightweight tail here via its agent hook.
-    agent = getattr(eval_cli, "_LAST_AGENT", None)
+    # do_evaluation stores last_metric_val/last_loss on the agent, which
+    # main() returns (no module-global hidden state).
+    agent = eval_cli.main(eval_args)
     if agent is None:
-        print(json.dumps({"error": "eval CLI did not expose the evaluator"}))
+        print(json.dumps({"error": "eval CLI did not return the evaluator"}))
         return 2
     is_count = eval_args.task_type == "count"
     measured = float(agent.last_metric_val) * (1.0 if is_count else 100.0)
