@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -396,6 +397,35 @@ def swin_block(p: dict, x: jnp.ndarray, *, num_heads: int,
             y = y[:, :d, :h, :w, :]
 
     x = shortcut + drop_path(r1, y, dp_rate, deterministic)
+
+    if ((use_pallas == "hsplit" or (use_pallas and c > 512))
+            and os.environ.get("LRCE_TPU_LNMLP")):
+        # stage3 (C=1024, hsplit or LRCE_TPU_FULL_STAGE3's whole-C route):
+        # XLA primal + flash-style fused Pallas MLP backward (round-4
+        # verdict #7: the stage3 MLP was the last XLA-VJP remnant in the
+        # train backbone). OPT-IN, not default: measured on-chip (round 5,
+        # PERF.md) the fused backward is ~0.8% SLOWER than XLA's VJP at
+        # stage3's 147-token-per-sample geometry (batch-24 device step
+        # 548.3 vs 543.9 ms) — XLA's large-GEMM dW/dx wins, so the
+        # "remnant" stays because it is the faster choice. The fused
+        # Pallas forward measured ~1% slower still (bench 612.9 vs 618.9
+        # clips/s). Both remain available and tested.
+        from lrce_tpu.ops.pallas_swin_block import fused_ln_mlp
+
+        dt = x.dtype
+        dp_inactive = (deterministic or (isinstance(dp_rate, (int, float))
+                                         and dp_rate == 0) or rng is None)
+        if dp_inactive:
+            dp2 = jnp.ones((1, 1), jnp.float32)
+        else:
+            keep = 1.0 - dp_rate
+            dp2 = (jax.random.bernoulli(r2, keep, (b, 1))
+                   .astype(jnp.float32) / keep)
+        return fused_ln_mlp(x, p["norm2"]["scale"], p["norm2"]["bias"],
+                            p["mlp"]["fc1"]["w"].astype(dt),
+                            p["mlp"]["fc1"]["b"],
+                            p["mlp"]["fc2"]["w"].astype(dt),
+                            p["mlp"]["fc2"]["b"], dp2, LN_EPS, interpret)
 
     # (The standalone ops/pallas_mlp.fused_mlp routing that used to sit here
     # became unreachable once whole-block fusion covered every use_pallas

@@ -126,6 +126,11 @@ def _pick_ff_chunks(c: int, dtype) -> int:
     axis in 2 keeps the program under the 16 MB default budget (a raised
     budget faults this backend's TPU worker on large grids, PERF.md)."""
     f32 = jnp.dtype(dtype).itemsize > 2
+    if c >= 1024:
+        # stage3 (fused_ln_mlp / _mlp_bwd_impl only — the whole-block
+        # forward is gated to C<=512): one FF column slab's weights plus
+        # the f32 dW accumulators must stay a few MB
+        return 16 if f32 else 8
     if c >= 512:
         return 4 if f32 else 2
     return 2 if f32 else 1
@@ -430,3 +435,175 @@ def _block_bwd(window, num_heads, ln_eps, interpret, res, g):
 
 
 fused_swin_block.defvjp(_block_fwd, _block_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Standalone LN2 + MLP + residual for stage3 (C=1024). The whole-block
+# kernel is gated to C<=512 because both sub-blocks' weights cannot co-reside
+# in VMEM. fused_ln_mlp runs the PRIMAL as plain XLA (measured faster than
+# the Pallas forward at stage3 geometry — see its docstring) and the
+# BACKWARD through the fused flash-style MLP kernel (_mlp_bwd_impl), which
+# recomputes the hidden per FF chunk instead of materializing (tokens, 4C)
+# in HBM — closing the last XLA-VJP remnant in the train backbone (the
+# stage3 MLP; reference video_swin_ori.py:158-189,298-306). The Pallas
+# forward below (_ln_mlp_fwd_impl: FF-blocked weight slabs, f32 VMEM
+# accumulator, batch-blocked sample tiles) is kept as a tested building
+# block for geometries where it may win.
+# ---------------------------------------------------------------------------
+
+def _ln_mlp_kernel(h1_ref, ln2s_ref, ln2b_ref, w1c_ref, b1c_ref, w2c_ref,
+                   b2_ref, dp2_ref, out_ref, acc_ref, *, ln_eps: float,
+                   ff_chunks: int, has_dp: bool, bb: int):
+    fi = pl.program_id(2)
+    # program_id must be read OUTSIDE pl.when bodies: interpret mode lowers
+    # when-branches as plain lax.cond, where program_id has no CPU rule.
+    if has_dp:
+        bi = pl.program_id(0)
+        dpv = [dp2_ref[bi * bb + j, 0] for j in range(bb)]
+    h1 = h1_ref[:]                     # (bb, d, rows, ww, c)
+    c = h1.shape[-1]
+    dt = h1.dtype
+
+    @pl.when(fi == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    z = _ln_f32(h1, ln2s_ref, ln2b_ref, ln_eps).reshape(-1, c)
+    pre = jnp.dot(z, w1c_ref[:], preferred_element_type=jnp.float32)
+    pre = pre + b1c_ref[0, 0].astype(jnp.float32)
+    pre = pre * 0.5 * (1.0 + _erf_f32(pre * (1.0 / math.sqrt(2.0))))
+    acc_ref[:] += jnp.dot(pre.astype(dt), w2c_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(fi == ff_chunks - 1)
+    def _():
+        total = acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        if has_dp:
+            per = total.reshape(bb, -1, c)
+            total = jnp.stack([per[j] * dpv[j] for j in range(bb)])
+            total = total.reshape(-1, c)
+        out = h1.reshape(-1, c).astype(jnp.float32) + total   # f32 residual,
+        out_ref[:] = out.astype(dt).reshape(h1.shape)         # like _block_kernel
+
+
+def _pick_bb(b: int, tok_per_sample: int, c: int, fc: int, itemsize) -> int:
+    """Samples per program: at stage3 geometry one sample is only 3*7*7=147
+    tokens — far too few MXU rows — so block several samples into one
+    program's GEMMs, bounded so in/out blocks (double-buffered), the f32
+    accumulator scratch and the double-buffered weight slabs stay well
+    under the 16 MB scoped-vmem budget."""
+    budget = 13 * 2 ** 20
+    for bb in (8, 4, 2, 1):
+        if b % bb:
+            continue
+        tok = bb * tok_per_sample
+        est = (2 * 2 * tok * c * itemsize          # in+out, double-buffered
+               + tok * c * 4                       # f32 acc scratch
+               + 2 * 2 * c * fc * itemsize         # w1c+w2c, double-buffered
+               + tok * c * 4                       # f32 LN output z
+               + 2 * tok * fc * 4)                 # f32 pre + gelu transient
+        if est <= budget:
+            return bb
+    return 1
+
+
+def _ln_mlp_fwd_impl(h1, ln2s, ln2b, w1, b1, w2, b2, dp2, *, ln_eps,
+                     interpret, ff_chunks=None):
+    b, d, hh, ww, c = h1.shape
+    ff = w1.shape[1]
+    ffc = ff_chunks if ff_chunks is not None else _pick_ff_chunks(c, h1.dtype)
+    while ff % ffc:
+        ffc -= 1
+    fc = ff // ffc
+    has_dp = dp2.shape[0] == b
+    rows = hh if hh <= 14 else (7 if hh % 7 == 0 else 1)
+    itemsize = jnp.dtype(h1.dtype).itemsize
+    bb = (_pick_bb(b, d * rows * ww, c, fc, itemsize)
+          if rows == hh else 1)
+    grid = (b // bb, hh // rows, ffc)
+    tokens = bb * d * rows * ww
+    dt = h1.dtype
+
+    tile = pl.BlockSpec((bb, d, rows, ww, c),
+                        lambda bi, hi, fi: (bi, 0, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((c, fc), lambda bi, hi, fi: (0, fi),
+                           memory_space=pltpu.VMEM)
+    # b1 rides as (ffc, 1, fc) so the BLOCKED last-two dims (1, fc) equal
+    # the array's — a (1, fc) block over (ffc, fc) violates Mosaic's
+    # (8, 128) divisibility rule on real TPUs (interpret mode doesn't check)
+    b1_spec = pl.BlockSpec((1, 1, fc), lambda bi, hi, fi: (fi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((fc, c), lambda bi, hi, fi: (fi, 0),
+                           memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(_ln_mlp_kernel, ln_eps=ln_eps, ff_chunks=ffc,
+                               has_dp=has_dp, bb=bb)
+    ntok = b * d * hh * ww
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile, full, full, w1_spec, b1_spec, w2_spec, full, dp_spec],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(h1.shape, dt),
+        scratch_shapes=[pltpu.VMEM((tokens, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ntok * c * ff * 2,
+            bytes_accessed=h1.size * 4 + (w1.size + w2.size) * b,
+            transcendentals=ntok * ff),
+        interpret=interpret,
+    )(h1, ln2s, ln2b, w1.astype(dt), b1.reshape(ffc, 1, fc), w2.astype(dt),
+      b2, dp2)
+
+
+def _ln_mlp_xla_fwd(h1, ln2s, ln2b, w1, b1, w2, b2, dp2, ln_eps):
+    """The primal LN2+MLP+residual as plain XLA ops (same math as the
+    decomposed swin_block path: f32 LN, exact-erf gelu, f32-accumulated
+    matmuls)."""
+    from lrce_tpu.ops.nn import dense, gelu, layer_norm
+
+    z = layer_norm({"scale": ln2s, "bias": ln2b}, h1, eps=ln_eps)
+    z = dense({"w": w2, "b": b2}, gelu(dense({"w": w1, "b": b1}, z)))
+    if dp2.shape[0] == h1.shape[0]:
+        z = (z.astype(jnp.float32)
+             * dp2.reshape((h1.shape[0],) + (1,) * (z.ndim - 1))).astype(
+                 z.dtype)
+    return h1 + z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_ln_mlp(h1, ln2s, ln2b, w1, b1, w2, b2, dp2, ln_eps=1e-5,
+                 interpret=False):
+    """out = h1 + dp2 * (fc2(gelu(fc1(LN2(h1)))) ) on (B, D, H, W, C).
+
+    dp2: per-sample stochastic-depth multipliers (B, 1) f32, or a (1, 1)
+    ones sentinel when drop_path is inactive (same convention as
+    fused_swin_block). Weights pre-cast to the activation dtype by the
+    caller.
+
+    The PRIMAL runs plain XLA (one large fused GEMM pair beats the
+    Pallas forward at stage3's 147-token-per-sample geometry — measured
+    618.9 vs 612.9 clips/s on-chip, PERF.md round 5); the BACKWARD runs
+    the fused flash-style MLP kernel (_mlp_bwd_impl), which never
+    materializes the (tokens, 4C) hidden in HBM — the same split the
+    stage3 attention (hsplit) uses. The Pallas forward (_ln_mlp_fwd_impl)
+    remains as a tested building block."""
+    return _ln_mlp_xla_fwd(h1, ln2s, ln2b, w1, b1, w2, b2, dp2, ln_eps)
+
+
+def _ln_mlp_fwd(h1, ln2s, ln2b, w1, b1, w2, b2, dp2, ln_eps, interpret):
+    out = _ln_mlp_xla_fwd(h1, ln2s, ln2b, w1, b1, w2, b2, dp2, ln_eps)
+    return out, (h1, ln2s, ln2b, w1, b1, w2, b2, dp2)
+
+
+def _ln_mlp_bwd(ln_eps, interpret, res, g):
+    h1, ln2s, ln2b, w1, b1, w2, b2, dp2 = res
+    dh1_ln, dls, dlb, dw1, db1, dw2, db2 = _mlp_bwd_impl(
+        h1, g, ln2s, ln2b, w1, b1, w2, b2, dp2, ln_eps=ln_eps,
+        interpret=interpret)
+    dh1 = (g.astype(jnp.float32) + dh1_ln).astype(h1.dtype)
+    return (dh1, dls, dlb, dw1, db1, dw2, db2, jnp.zeros_like(dp2))
+
+
+fused_ln_mlp.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)

@@ -192,3 +192,99 @@ def test_model_block_routes_through_fused_block(monkeypatch):
     ref = S.swin_block(p, x, shift=shift, mask=mask, use_pallas=False, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused_ln_mlp: the standalone LN2+MLP+residual op (stage3 routing — the
+# whole-block kernel is gated to C<=512, so stage3's MLP streams FF-blocked
+# weights through this kernel instead of running the XLA MLP)
+# ---------------------------------------------------------------------------
+
+def _ln_mlp_case(c=64, b=2, d=2, h=6, w=9, seed=3, dp=False):
+    rng = np.random.RandomState(seed)
+    ff = 4 * c
+    h1 = jnp.asarray(rng.randn(b, d, h, w, c).astype(np.float32))
+    a = (jnp.asarray(rng.rand(c).astype(np.float32) + 0.5),
+         jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+         jnp.asarray((rng.randn(c, ff) / np.sqrt(c)).astype(np.float32)),
+         jnp.asarray(rng.randn(ff).astype(np.float32) * 0.02),
+         jnp.asarray((rng.randn(ff, c) / np.sqrt(ff)).astype(np.float32)),
+         jnp.asarray(rng.randn(c).astype(np.float32) * 0.02))
+    dp2 = (jnp.asarray([[2.0], [0.0]], jnp.float32) if dp
+           else jnp.ones((1, 1), jnp.float32))
+    return h1, a, dp2
+
+
+def _ln_mlp_oracle(h1, a, dp2):
+    from lrce_tpu.ops.nn import dense, gelu, layer_norm
+
+    ln2s, ln2b, w1, b1, w2, b2 = a
+    z = layer_norm({"scale": ln2s, "bias": ln2b}, h1, eps=1e-5)
+    z = dense({"w": w2, "b": b2}, gelu(dense({"w": w1, "b": b1}, z)))
+    if dp2.shape[0] == h1.shape[0]:
+        z = z * dp2.reshape((h1.shape[0],) + (1,) * (z.ndim - 1))
+    return h1 + z
+
+
+@pytest.mark.parametrize("ffc,dp", [(1, False), (4, False), (2, True)])
+def test_fused_ln_mlp_matches_oracle(ffc, dp):
+    h1, a, dp2 = _ln_mlp_case(dp=dp)
+    got = PB._ln_mlp_fwd_impl(h1, *a, dp2, ln_eps=1e-5, interpret=True,
+                              ff_chunks=ffc)
+    ref = _ln_mlp_oracle(h1, a, dp2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ln_mlp_vjp_matches_xla_grad():
+    h1, a, dp2 = _ln_mlp_case(seed=4)
+
+    def loss_fused(h1, w1, ln2s):
+        a2 = (ln2s, a[1], w1) + a[3:]
+        return jnp.sum(PB.fused_ln_mlp(h1, *a2, dp2, 1e-5, True) ** 2)
+
+    def loss_ref(h1, w1, ln2s):
+        a2 = (ln2s, a[1], w1) + a[3:]
+        return jnp.sum(_ln_mlp_oracle(h1, a2, dp2) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(h1, a[2], a[0])
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(h1, a[2], a[0])
+    for got, want in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_model_hsplit_block_routes_mlp_through_fused(monkeypatch):
+    """swin_block with use_pallas='hsplit' (the stage3 route) under
+    LRCE_TPU_LNMLP=1 must produce the XLA path's output with the MLP
+    running through fused_ln_mlp (XLA primal + fused Pallas MLP
+    backward; opt-in because the XLA VJP measured faster on-chip)."""
+    from lrce_tpu.models import swin3d as S
+
+    monkeypatch.setenv("LRCE_TPU_LNMLP", "1")
+
+    rng = np.random.RandomState(11)
+    c, heads, window = 64, 4, (2, 3, 3)
+    x = jnp.asarray(rng.randn(2, 2, 6, 9, c).astype(np.float32))
+    params = S.swin_init(jax.random.PRNGKey(0), S.SwinConfig(
+        embed_dim=c, depths=(2, 1, 1, 1), num_heads=(heads,) * 4,
+        window_size=window))
+    p = jax.tree.map(lambda t: t[0], params["stages"][0]["blocks"])
+    rel_index = jnp.asarray(S.relative_position_index(window))
+    shift = tuple(s // 2 for s in window)
+    mask = jnp.asarray(S.compute_shift_mask((2, 6, 9), window, shift))
+
+    calls = []
+    orig = PB.fused_ln_mlp
+    monkeypatch.setattr(PB, "fused_ln_mlp",
+                        lambda *a, **k: (calls.append(1),
+                                         orig(*a, **k))[1])
+
+    kw = dict(num_heads=heads, window=window, rel_index=rel_index,
+              dp_rate=0.0, deterministic=True, rng=None, interpret=True)
+    got = S.swin_block(p, x, shift=shift, mask=mask, use_pallas="hsplit",
+                       **kw)
+    ref = S.swin_block(p, x, shift=shift, mask=mask, use_pallas=False, **kw)
+    assert calls, "hsplit block did not route its MLP through fused_ln_mlp"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
