@@ -43,6 +43,12 @@ def main(argv=None):
                    help="(default) explicit off switch")
     p.add_argument("--reg", type=float, default=0.0,
                    help="reg_strength (paper configs use 0.001)")
+    p.add_argument("--device-only", action="store_true",
+                   help="skip the wall/prefetch regimes (per-step host->"
+                        "device placement is tunnel-bound on this box: "
+                        "~10 MB/s makes batch-48 wall steps ~14 s each); "
+                        "measure only the device + lagged regimes, the "
+                        "production-representative numbers")
     args = p.parse_args(argv)
 
     if args.remat:
@@ -88,29 +94,31 @@ def main(argv=None):
           f"loss={loss:.4f}", flush=True)
     assert np.isfinite(loss)
 
-    # wall regime: host batch placed every step
-    for _ in range(2):
-        agent.step(*host_batch, is_train=True)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        agent.step(*host_batch, is_train=True)
-    wall = (time.perf_counter() - t0) / args.iters
+    wall = pref = None
+    if not args.device_only:
+        # wall regime: host batch placed every step
+        for _ in range(2):
+            agent.step(*host_batch, is_train=True)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            agent.step(*host_batch, is_train=True)
+        wall = (time.perf_counter() - t0) / args.iters
 
-    # prefetch regime: the real process_data input path — host batches
-    # double-buffered onto the device while the previous step computes
-    from lrce_tpu.data.prefetch import device_prefetch
+        # prefetch regime: the real process_data input path — host batches
+        # double-buffered onto the device while the previous step computes
+        from lrce_tpu.data.prefetch import device_prefetch
 
-    def feed(k):
-        for _ in range(k):
-            yield host_batch
+        def feed(k):
+            for _ in range(k):
+                yield host_batch
 
-    warm = device_prefetch(feed(2))
-    for dev_b in warm:
-        agent.step(*dev_b, is_train=True)
-    t0 = time.perf_counter()
-    for dev_b in device_prefetch(feed(args.iters)):
-        agent.step(*dev_b, is_train=True)
-    pref = (time.perf_counter() - t0) / args.iters
+        warm = device_prefetch(feed(2))
+        for dev_b in warm:
+            agent.step(*dev_b, is_train=True)
+        t0 = time.perf_counter()
+        for dev_b in device_prefetch(feed(args.iters)):
+            agent.step(*dev_b, is_train=True)
+        pref = (time.perf_counter() - t0) / args.iters
 
     # device regime: batch pre-placed once
     dev_batch = tuple(jnp.asarray(a) for a in host_batch)
@@ -138,8 +146,9 @@ def main(argv=None):
     clips = 3 * b
     print(f"batch {b} ({clips} clips), remat={args.remat}, "
           f"reg={args.reg}")
-    print(f"  wall step:     {wall * 1000:7.1f} ms  {clips / wall:7.1f} clips/s")
-    print(f"  prefetch step: {pref * 1000:7.1f} ms  {clips / pref:7.1f} clips/s")
+    if wall is not None:
+        print(f"  wall step:     {wall * 1000:7.1f} ms  {clips / wall:7.1f} clips/s")
+        print(f"  prefetch step: {pref * 1000:7.1f} ms  {clips / pref:7.1f} clips/s")
     print(f"  device step:   {dev * 1000:7.1f} ms  {clips / dev:7.1f} clips/s")
     print(f"  lagged step:   {lag * 1000:7.1f} ms  {clips / lag:7.1f} clips/s")
     try:
